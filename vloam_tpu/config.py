@@ -1,0 +1,161 @@
+"""Typed configuration tree.
+
+Replaces the reference's two-layer ROS parameter system:
+- LOAM algorithm params (reference src/lidar_odometry_mapping/launch/
+  loam_velodyne_HDL_64_kitti.launch:3-16),
+- pipeline flags (reference src/vloam_main/launch/vloam_main.launch:4-16),
+plus the numeric constants hard-coded in the reference sources, and the
+static shape caps the TPU design needs (every ragged structure in the
+reference becomes a padded tensor + mask here).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class LidarProfile:
+    """Sensor geometry (reference scan_registration.cpp:195-226)."""
+
+    name: str = "HDL-64"
+    n_scans: int = 64
+    minimum_range: float = 5.0  # loam_velodyne_HDL_64_kitti.launch:14
+    scan_period: float = 0.1  # scan_registration.h scanPeriod
+    # Static shape caps (TPU): points per ring after padding, total input cap.
+    max_points: int = 131072
+    ring_capacity: int = 2560
+
+
+HDL64_KITTI = LidarProfile()
+HDL32 = LidarProfile(name="HDL-32", n_scans=32, minimum_range=0.1)
+VLP16 = LidarProfile(name="VLP-16", n_scans=16, minimum_range=0.3)
+
+
+@dataclass(frozen=True)
+class ScanRegistrationConfig:
+    """Feature extraction (reference scan_registration.cpp:288-440)."""
+
+    n_sectors: int = 6
+    curvature_threshold: float = 0.1  # sharp/flat split (":332,:385")
+    max_sharp_per_sector: int = 2
+    max_less_sharp_per_sector: int = 20
+    max_flat_per_sector: int = 4
+    neighbor_suppress_gap_sq: float = 0.05  # ":358"
+    less_flat_leaf: float = 0.2  # VoxelGrid leaf (":436")
+    # Static caps for the padded feature tensors.
+    sharp_cap: int = 1024
+    less_sharp_cap: int = 8192
+    flat_cap: int = 2048
+    less_flat_cap: int = 32768
+
+
+@dataclass(frozen=True)
+class LaserOdometryConfig:
+    """Frame-to-frame scan matching (reference laser_odometry.cpp)."""
+
+    outer_rounds: int = 2  # ":211"
+    gn_iterations: int = 4  # ceres max_num_iterations (":460")
+    distance_sq_threshold: float = 25.0  # laser_odometry.h:94
+    nearby_scan: float = 2.5  # laser_odometry.h:95
+    huber_delta: float = 0.1  # ":217"
+    distortion: bool = False  # laser_odometry.h:90 (KITTI clouds pre-deskewed)
+    mapping_skip_frame: int = 1  # launch:6
+
+
+@dataclass(frozen=True)
+class LaserMappingConfig:
+    """Scan-to-map refinement (reference laser_mapping.cpp)."""
+
+    cube_size: float = 50.0  # laser_mapping.h:110-114
+    cube_width: int = 21
+    cube_height: int = 21
+    cube_depth: int = 11
+    line_resolution: float = 0.4  # launch:15
+    plane_resolution: float = 0.8  # launch:16
+    outer_rounds: int = 2  # ":458"
+    gn_iterations: int = 4  # ":612"
+    huber_delta: float = 0.1
+    neighbor_radius_sq: float = 1.0  # 5-NN gate (":479,:547")
+    eigen_ratio: float = 3.0  # line test λ2 > 3 λ1 (":506")
+    plane_fit_tolerance: float = 0.2  # ":568"
+    edge_half_length: float = 0.1  # synthetic edge points (":510-511")
+    min_corner_map_points: int = 10  # ":448"
+    min_surf_map_points: int = 50
+    # Static caps.
+    cube_corner_capacity: int = 512
+    cube_surf_capacity: int = 1024
+    corner_stack_cap: int = 4096
+    surf_stack_cap: int = 8192
+    knn: int = 5
+    # Gather window around the center cube (reference ":404-420": 5 x 5 x 3).
+    gather_w: int = 5
+    gather_h: int = 5
+    gather_d: int = 3
+
+
+@dataclass(frozen=True)
+class VisualOdometryConfig:
+    """DEMO-style depth-enhanced VO (reference visual_odometry.cpp,
+    image_util.cpp, point_cloud_util.cpp)."""
+
+    img_width: int = 1242
+    img_height: int = 375
+    max_keypoints: int = 1024  # image_util.cpp:20
+    shi_tomasi_block: int = 5  # image_util.cpp:15
+    shi_tomasi_quality: float = 0.03  # image_util.cpp:22
+    shi_tomasi_min_distance: float = 7.5  # block*1.5 (image_util.cpp:18)
+    match_ratio: float = 0.8  # KNN ratio test (image_util.cpp:278)
+    descriptor_patch: int = 16  # ZNCC patch side (TPU-native descriptor)
+    optical_flow_match: bool = False  # vloam_main.launch:10
+    flow_window: int = 15  # image_util.cpp:365 cv::Size(15,15)
+    flow_levels: int = 3  # maxLevel=2 -> 3 pyramid levels
+    flow_iterations: int = 10
+    remove_VO_outlier: float = 100.0  # px gate, vloam_main.launch:6
+    reset_VO_to_identity: bool = False  # vloam_main.launch:5
+    clahe: bool = False  # vloam_main.launch:8
+    downsample_grid_size: int = 5  # point_cloud_util.h:26
+    depth_search_radius: int = 2  # point_cloud_util.h:35 queryDepth r
+    min_depth_neighbors: int = 10  # point_cloud_util.cpp:337
+    min_depth: float = 0.1  # projection front-filter (":157")
+    huber_delta: float = 0.1  # visual_odometry.cpp:258
+    max_iterations: int = 32  # ceres allows 100 (":67"); LM converges long before
+    max_matches: int = 2048  # static residual cap
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level orchestration flags (reference vloam_main.launch)."""
+
+    detach_VO_LO: bool = True  # launch:4 default
+    save_traj: bool = True
+    verbose_level: int = 0
+    lidar: LidarProfile = field(default_factory=lambda: HDL64_KITTI)
+    scanreg: ScanRegistrationConfig = field(default_factory=ScanRegistrationConfig)
+    lo: LaserOdometryConfig = field(default_factory=LaserOdometryConfig)
+    mapping: LaserMappingConfig = field(default_factory=LaserMappingConfig)
+    vo: VisualOdometryConfig = field(default_factory=VisualOdometryConfig)
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def kitti_hdl64() -> PipelineConfig:
+    """The KITTI eval profile used for all baseline numbers."""
+    return PipelineConfig()
+
+
+def tiny_test_profile() -> PipelineConfig:
+    """Small shapes for fast unit tests / CPU meshes."""
+    return PipelineConfig(
+        lidar=LidarProfile(name="tiny", n_scans=16, minimum_range=0.5,
+                           max_points=8192, ring_capacity=512),
+        scanreg=ScanRegistrationConfig(sharp_cap=256, less_sharp_cap=2048,
+                                       flat_cap=512, less_flat_cap=4096),
+        mapping=LaserMappingConfig(cube_width=11, cube_height=11, cube_depth=5,
+                                   cube_corner_capacity=256, cube_surf_capacity=512,
+                                   corner_stack_cap=1024, surf_stack_cap=2048),
+        vo=VisualOdometryConfig(img_width=320, img_height=96, max_keypoints=256,
+                                max_matches=512),
+    )
