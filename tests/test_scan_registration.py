@@ -1,0 +1,138 @@
+import numpy as np
+import jax.numpy as jnp
+
+from vloam_tpu.config import LidarProfile, ScanRegistrationConfig
+from vloam_tpu.data import synthetic
+from vloam_tpu.lidar import scan_registration as sr
+from vloam_tpu.lidar.voxel import voxel_downsample
+
+import np_loam
+
+TINY = LidarProfile(name="tiny64", n_scans=64, minimum_range=2.0,
+                    max_points=32768, ring_capacity=512)
+CFG = ScanRegistrationConfig(sharp_cap=1024, less_sharp_cap=8192,
+                             flat_cap=2048, less_flat_cap=8192)
+
+
+def make_scan(seed=0, n_az=360):
+    scene = synthetic.urban_scene(seed)
+    T = np.eye(4)
+    pts = synthetic.simulate_scan(scene, T, n_scans=64, n_azimuth=n_az, seed=seed)
+    return pts
+
+
+def test_ring_assignment_matches_np(rng):
+    pts = make_scan()
+    got_ring, got_ok = sr.assign_rings(jnp.asarray(pts), jnp.ones(len(pts), bool), TINY)
+    want_ring, want_ok = np_loam.assign_rings_np(pts.astype(np.float64), 64)
+    np.testing.assert_array_equal(np.asarray(got_ok), want_ok)
+    np.testing.assert_array_equal(np.asarray(got_ring)[want_ok], want_ring[want_ok])
+
+
+def test_rel_time_matches_np():
+    pts = make_scan()
+    valid = np.linalg.norm(pts, axis=1) >= TINY.minimum_range
+    ring, ok = np_loam.assign_rings_np(pts.astype(np.float64), 64)
+    got = np.asarray(sr._relative_time(jnp.asarray(pts), jnp.asarray(valid),
+                                       jnp.asarray(valid & ok)))
+    want = np_loam.rel_time_np(pts.astype(np.float64), valid, valid & ok)
+    sel = valid & ok
+    d = np.abs(got[sel] - want[sel])
+    # Points exactly on the 2-pi wrap boundary can take a different branch in
+    # float32 vs float64 (off-by-one-turn); tolerate a tiny fraction of those.
+    frac_bad = np.mean(d > 2e-3)
+    assert frac_bad < 0.005, frac_bad
+    np.testing.assert_allclose(np.median(d), 0.0, atol=1e-4)
+
+
+def test_curvature_matches_np(rng):
+    r = 128
+    ring = rng.normal(size=(r, 3)).astype(np.float32) * 0.1
+    ring[60:] = 0.0
+    cnt = 60
+    got = np.asarray(sr._curvature(jnp.asarray(ring[None])))[0]
+    want = np_loam.curvature_np(ring.astype(np.float64), cnt)
+    sel = np.arange(r)
+    inner = (sel >= 5) & (sel < cnt - 5)
+    np.testing.assert_allclose(got[inner], want[inner], rtol=2e-3, atol=1e-4)
+
+
+def test_select_ring_matches_np(rng):
+    """Label-exact parity of the greedy selection against the sequential
+    clean-room implementation, on realistic curvature profiles."""
+    pts_all = make_scan(seed=3, n_az=720)
+    feats = sr.register_scan(
+        jnp.asarray(synthetic.pad_scan(pts_all, TINY.max_points)[0]),
+        jnp.int32(min(len(pts_all), TINY.max_points)), TINY, CFG)
+    # rebuild the ring layout on host to compare per-ring labels
+    valid = np.linalg.norm(pts_all, axis=1) >= TINY.minimum_range
+    ring, ok = np_loam.assign_rings_np(pts_all.astype(np.float64), 64)
+    sel = valid & ok
+
+    # reconstruct the jax ring layout pieces
+    import jax
+    xyz = jnp.asarray(synthetic.pad_scan(pts_all, TINY.max_points)[0])
+    n_points = jnp.int32(min(len(pts_all), TINY.max_points))
+    in_range = jnp.arange(TINY.max_points) < n_points
+    rng_sq = jnp.sum(xyz * xyz, axis=-1)
+    valid_range = in_range & (rng_sq >= TINY.minimum_range**2)
+    ring_j, valid_j = sr.assign_rings(xyz, valid_range, TINY)
+    rel = sr._relative_time(xyz, valid_range, valid_j)
+    pts_r, rt_r, counts = sr._ring_layout(xyz, ring_j, rel, valid_j, 64, TINY.ring_capacity)
+    curv = sr._curvature(pts_r)
+    label_jax = np.asarray(jax.vmap(lambda p, c, k: sr._select_ring(p, c, k, CFG)[0])(
+        pts_r, curv, counts))
+
+    pts_np = np.asarray(pts_r, np.float64)
+    counts_np = np.asarray(counts)
+    mismatches = 0
+    for r in range(64):
+        cnt = int(counts_np[r])
+        if cnt < 17:
+            continue
+        curv_np = np_loam.curvature_np(pts_np[r], cnt)
+        want = np_loam.select_ring_np(pts_np[r], curv_np, cnt)
+        # tolerate tiny float32-vs-float64 curvature ordering differences
+        mismatches += int(np.sum(want != label_jax[r]))
+    total = int(np.sum(counts_np))
+    assert mismatches <= max(2, total // 500), f"{mismatches} label mismatches of {total}"
+
+
+def test_register_scan_end_to_end_properties():
+    pts = make_scan(seed=1, n_az=900)
+    padded, n = synthetic.pad_scan(pts, TINY.max_points)
+    feats = sr.register_scan(jnp.asarray(padded), jnp.int32(n), TINY, CFG)
+
+    n_sharp = int(feats.sharp.count())
+    n_less_sharp = int(feats.less_sharp.count())
+    n_flat = int(feats.flat.count())
+    n_less_flat = int(feats.less_flat.count())
+    assert 10 < n_sharp <= 64 * 6 * 2
+    assert n_sharp < n_less_sharp <= 64 * 6 * 20
+    assert 10 < n_flat <= 64 * 6 * 4
+    assert n_less_flat > n_flat
+    # sharp points sit on high-curvature structures: none on the bare ground
+    # plane far from any object (ground is smooth)
+    sharp = np.asarray(feats.sharp.xyz)[np.asarray(feats.sharp.mask)]
+    assert np.isfinite(sharp).all()
+    # all sharp features must respect the min-range filter
+    assert (np.linalg.norm(sharp, axis=1) >= TINY.minimum_range - 1e-3).all()
+
+
+def test_voxel_downsample_centroids(rng):
+    pts = rng.uniform(-5, 5, size=(2000, 3)).astype(np.float32)
+    mask = np.ones(2000, bool)
+    mask[1500:] = False
+    out_xyz, _, _, out_mask = voxel_downsample(jnp.asarray(pts), jnp.asarray(mask), 0.5, 2048)
+    got = np.asarray(out_xyz)[np.asarray(out_mask)]
+    # brute-force voxel means
+    cells = np.floor(pts[:1500] / 0.5).astype(int)
+    keys = {}
+    for p, c in zip(pts[:1500], cells):
+        keys.setdefault(tuple(c), []).append(p)
+    want = np.array([np.mean(v, axis=0) for v in keys.values()])
+    assert len(got) == len(want)
+    # match sets: sort both by lexicographic order
+    got_s = got[np.lexsort(got.T)]
+    want_s = want[np.lexsort(want.T)]
+    np.testing.assert_allclose(got_s, want_s, atol=1e-4)

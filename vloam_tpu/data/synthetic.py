@@ -1,0 +1,173 @@
+"""Synthetic KITTI-like world + sensor simulator (host-side numpy).
+
+There is no KITTI data in this environment, so correctness is validated on a
+simulated urban scene with exact ground-truth motion: ground plane, building
+boxes (plane surfaces -> LOAM surf features) and poles (vertical cylinders ->
+LOAM edge features), raycast with an HDL-64-style ring pattern (elevations
+matching the reference's ring formula domain,
+scan_registration.cpp:213-226), and a pinhole camera with KITTI-like
+intrinsics for the VO pipeline.
+
+Velodyne frame convention: x forward, y left, z up. Camera frame: z forward,
+x right, y down (KITTI cam0).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class Scene:
+    ground_z: float = -1.73
+    # axis-aligned boxes: (xmin, xmax, ymin, ymax, zmin, zmax)
+    boxes: np.ndarray = field(default_factory=lambda: np.zeros((0, 6)))
+    # vertical cylinders: (cx, cy, radius, zmin, zmax)
+    poles: np.ndarray = field(default_factory=lambda: np.zeros((0, 5)))
+    max_range: float = 80.0
+
+
+def urban_scene(seed: int = 0, extent: float = 60.0, n_boxes: int = 14,
+                n_poles: int = 24) -> Scene:
+    rng = np.random.default_rng(seed)
+    boxes = []
+    # Two rows of "buildings" flanking a corridor along +x, like a street.
+    for i in range(n_boxes):
+        side = 1 if i % 2 == 0 else -1
+        x0 = -extent + (2 * extent) * (i // 2) / max(1, n_boxes // 2)
+        w = rng.uniform(6, 14)
+        d = rng.uniform(4, 8)
+        y0 = side * rng.uniform(8, 14)
+        h = rng.uniform(4, 12)
+        boxes.append([x0, x0 + w, min(y0, y0 + side * d), max(y0, y0 + side * d), -1.73, h])
+    poles = []
+    for _ in range(n_poles):
+        px = rng.uniform(-extent, extent)
+        py = rng.uniform(-7.0, 7.0) + np.sign(rng.standard_normal()) * 6.0
+        poles.append([px, py, rng.uniform(0.08, 0.2), -1.73, rng.uniform(3, 6)])
+    return Scene(boxes=np.asarray(boxes, np.float64), poles=np.asarray(poles, np.float64))
+
+
+def hdl64_elevations(n_scans: int = 64) -> np.ndarray:
+    """Per-ring elevation angles (deg) landing in the reference's 64-beam
+    ring-id bins: upper block rings 0..31 at 2..-8.8deg (1/3 deg step), lower
+    block 32..50 at -8.83..-24.33 (1/2 deg step)."""
+    if n_scans == 64:
+        # Offsets keep every beam strictly inside its ring bin and inside the
+        # [-24.33, 2] elevation gate, away from float-precision boundaries.
+        upper = 2.0 - (np.arange(32) + 0.2) / 3.0
+        lower = -8.83 - (np.arange(32)) / 2.0 - 0.2
+        return np.concatenate([upper, lower])
+    if n_scans == 16:
+        return -15.0 + 2.0 * np.arange(16)
+    if n_scans == 32:
+        return (np.arange(32) + 0.5) * 4.0 / 3.0 - 92.0 / 3.0 + 0.2
+    raise ValueError(n_scans)
+
+
+def _ray_scene_range(origins: np.ndarray, dirs: np.ndarray, scene: Scene) -> np.ndarray:
+    """Min positive hit distance per ray (inf when no hit). origins [N,3],
+    dirs [N,3] unit."""
+    n = dirs.shape[0]
+    tmin = np.full(n, np.inf)
+
+    # ground plane z = ground_z
+    dz = dirs[:, 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (scene.ground_z - origins[:, 2]) / dz
+    ok = (np.abs(dz) > 1e-9) & (t > 0.1)
+    tmin = np.where(ok, np.minimum(tmin, np.where(ok, t, np.inf)), tmin)
+
+    # boxes via slab method
+    for b in scene.boxes:
+        lo = b[[0, 2, 4]]
+        hi = b[[1, 3, 5]]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t1 = (lo[None, :] - origins) / dirs
+            t2 = (hi[None, :] - origins) / dirs
+        tnear = np.nanmax(np.minimum(t1, t2), axis=1)
+        tfar = np.nanmin(np.maximum(t1, t2), axis=1)
+        hit = (tnear <= tfar) & (tfar > 0) & (tnear > 0.1)
+        tmin = np.where(hit, np.minimum(tmin, tnear), tmin)
+
+    # vertical cylinders
+    for p in scene.poles:
+        cx, cy, r, zmin, zmax = p
+        ox = origins[:, 0] - cx
+        oy = origins[:, 1] - cy
+        dx, dy = dirs[:, 0], dirs[:, 1]
+        a = dx * dx + dy * dy
+        bq = 2 * (ox * dx + oy * dy)
+        c = ox * ox + oy * oy - r * r
+        disc = bq * bq - 4 * a * c
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            t = (-bq - sq) / (2 * a)
+        z = origins[:, 2] + t * dirs[:, 2]
+        hit = (disc > 0) & (a > 1e-12) & (t > 0.1) & (z >= zmin) & (z <= zmax)
+        tmin = np.where(hit, np.minimum(tmin, t), tmin)
+
+    return tmin
+
+
+def simulate_scan(
+    scene: Scene,
+    T_world_sensor: np.ndarray,  # [4,4] sensor->world
+    n_scans: int = 64,
+    n_azimuth: int = 1800,
+    noise: float = 0.01,
+    seed: int = 0,
+) -> np.ndarray:
+    """Raycast one scan; returns [n_valid, 3] float32 points in sensor frame,
+    azimuth-major firing order within each ring (matching velodyne packets)."""
+    rng = np.random.default_rng(seed)
+    elev = np.radians(hdl64_elevations(n_scans))
+    az = -np.linspace(0, 2 * np.pi, n_azimuth, endpoint=False)  # clockwise like velodyne
+    ce, se = np.cos(elev), np.sin(elev)
+    ca, sa = np.cos(az), np.sin(az)
+    # dirs[ring, az]: x = cos(e)cos(a), y = cos(e)sin(a), z = sin(e)
+    d = np.stack(
+        [
+            ce[:, None] * ca[None, :],
+            ce[:, None] * sa[None, :],
+            np.broadcast_to(se[:, None], (n_scans, n_azimuth)),
+        ],
+        axis=-1,
+    ).reshape(-1, 3)
+    R = T_world_sensor[:3, :3]
+    t = T_world_sensor[:3, 3]
+    dw = d @ R.T
+    ow = np.broadcast_to(t, dw.shape)
+    rngs = _ray_scene_range(ow, dw, scene)
+    hit = np.isfinite(rngs) & (rngs < scene.max_range)
+    rngs = np.where(hit, rngs, 0.0)
+    if noise > 0:
+        rngs = rngs + np.where(hit, rng.normal(0, noise, rngs.shape), 0.0)
+    pts_sensor = d * rngs[:, None]
+    return pts_sensor[hit].astype(np.float32)
+
+
+def pad_scan(pts: np.ndarray, cap: int) -> tuple[np.ndarray, int]:
+    n = min(len(pts), cap)
+    out = np.zeros((cap, 3), np.float32)
+    out[:n] = pts[:n]
+    return out, n
+
+
+def drive_trajectory(n_frames: int, speed: float = 1.0, yaw_rate: float = 0.01,
+                     start: np.ndarray | None = None) -> list[np.ndarray]:
+    """Ground-truth sensor poses: gentle arc along +x (per-frame motion
+    `speed` m, `yaw_rate` rad)."""
+    poses = []
+    T = np.eye(4) if start is None else start.copy()
+    for k in range(n_frames):
+        poses.append(T.copy())
+        yaw = yaw_rate
+        c, s = np.cos(yaw), np.sin(yaw)
+        dT = np.eye(4)
+        dT[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        dT[0, 3] = speed
+        T = T @ dT
+    return poses

@@ -1,0 +1,205 @@
+"""Frame-to-frame laser odometry (A-LOAM laserOdometry) — TPU-native.
+
+Reimplements reference src/lidar_odometry_mapping/src/laser_odometry.cpp
+solveLO() (:187-536): two outer rounds of {correspondence search, 4 LM
+iterations} over point-to-line (LidarEdgeFactor, lidarFactor.hpp:14-56) and
+point-to-plane (LidarPlaneFactor, lidarFactor.hpp:58-106) residuals, with
+Huber(0.1) loss and a quaternion-local parameterization.
+
+TPU mapping:
+- KD-tree NN + ring-directional scans -> tiled MXU brute force with ring
+  constraints (knn.nearest_and_ring_constrained),
+- Ceres LM -> solver.lm batched IRLS-LM with jacfwd Jacobians,
+- DISTORTION=false (laser_odometry.h:90): TransformToStart applies the full
+  transform (s=1), so the slerp fraction drops out.
+
+The (q, t) parameters transform a current-frame point into the last frame:
+lp = R(q) p + t (TransformToStart, :149-167).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LaserOdometryConfig
+from ..geometry import so3
+from ..solver.lm import ResidualFamily, lm_solve
+from .knn import nearest_and_ring_constrained
+from .types import FeatureCloud, ScanFeatures
+
+_EPS = 1e-9
+
+
+def _pack(q, t):
+    return jnp.concatenate([q, t])
+
+
+def _unpack(x):
+    return x[:4], x[4:]
+
+
+def _retract(x, delta):
+    q, t = _unpack(x)
+    qn = so3.quat_normalize(so3.quat_multiply(q, so3.quat_from_axis_angle(delta[:3])))
+    return _pack(qn, t + delta[3:])
+
+
+def associate_corners(
+    sharp: FeatureCloud, corner_last: FeatureCloud, x, cfg: LaserOdometryConfig
+):
+    """Edge correspondences: nearest last-frame corner + nearest corner on a
+    different nearby ring (reference :266-350)."""
+    q, t = _unpack(x)
+    p_hat = so3.quat_rotate(q, sharp.xyz) + t
+    res = nearest_and_ring_constrained(
+        p_hat, corner_last.xyz, corner_last.ring, corner_last.mask,
+        cfg.nearby_scan, mode="corner",
+    )
+    thr = cfg.distance_sq_threshold
+    valid = sharp.mask & (res["d0"] < thr) & (res["d2"] < thr)
+    a = corner_last.xyz[res["i0"]]
+    b = corner_last.xyz[res["i2"]]
+    de = jnp.linalg.norm(a - b, axis=-1)
+    valid = valid & (de > 1e-6)
+    return a, b, de, valid
+
+
+def associate_surfs(
+    flat: FeatureCloud, surf_last: FeatureCloud, x, cfg: LaserOdometryConfig
+):
+    """Plane correspondences: nearest j + same-ring l + other-ring m
+    (reference :353-444)."""
+    q, t = _unpack(x)
+    p_hat = so3.quat_rotate(q, flat.xyz) + t
+    res = nearest_and_ring_constrained(
+        p_hat, surf_last.xyz, surf_last.ring, surf_last.mask,
+        cfg.nearby_scan, mode="surf",
+    )
+    thr = cfg.distance_sq_threshold
+    valid = (
+        flat.mask & (res["d0"] < thr) & (res["d2"] < thr) & (res["d3"] < thr)
+    )
+    pj = surf_last.xyz[res["i0"]]
+    pl = surf_last.xyz[res["i3"]]  # same ring
+    pm = surf_last.xyz[res["i2"]]  # neighboring ring
+    n = jnp.cross(pj - pl, pj - pm)
+    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    valid = valid & (nn[:, 0] > 1e-6)
+    n_hat = n / jnp.maximum(nn, _EPS)
+    return pj, n_hat, valid
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def solve_lo(
+    sharp: FeatureCloud,
+    flat: FeatureCloud,
+    corner_last: FeatureCloud,
+    surf_last: FeatureCloud,
+    q_init: jnp.ndarray,
+    t_init: jnp.ndarray,
+    cfg: LaserOdometryConfig,
+):
+    """Two rounds x 4 LM iterations; returns (q_last_curr, t_last_curr,
+    n_corner_corr, n_plane_corr)."""
+    x = _pack(q_init, t_init)
+    n_c = jnp.int32(0)
+    n_s = jnp.int32(0)
+    for _ in range(cfg.outer_rounds):
+        a, b, de, v_c = associate_corners(sharp, corner_last, x, cfg)
+        pj, n_hat, v_s = associate_surfs(flat, surf_last, x, cfg)
+        n_c = jnp.sum(v_c.astype(jnp.int32))
+        n_s = jnp.sum(v_s.astype(jnp.int32))
+        cp_c = sharp.xyz
+        cp_s = flat.xyz
+
+        def make_families(xx):
+            qq, tt = _unpack(xx)
+
+            def edge_fn(delta):
+                qd = so3.quat_multiply(qq, so3.quat_from_axis_angle(delta[:3]))
+                td = tt + delta[3:]
+                lp = so3.quat_rotate(qd, cp_c) + td
+                nu = jnp.cross(lp - a, lp - b)
+                return nu / jnp.maximum(de, _EPS)[:, None]
+
+            def plane_fn(delta):
+                qd = so3.quat_multiply(qq, so3.quat_from_axis_angle(delta[:3]))
+                td = tt + delta[3:]
+                lp = so3.quat_rotate(qd, cp_s) + td
+                return jnp.sum((lp - pj) * n_hat, axis=-1, keepdims=True)
+
+            return [
+                ResidualFamily(edge_fn, v_c.astype(jnp.float32)),
+                ResidualFamily(plane_fn, v_s.astype(jnp.float32)),
+            ]
+
+        x = lm_solve(make_families, _retract, x, dim=6,
+                     iterations=cfg.gn_iterations, huber_delta=cfg.huber_delta)
+    q, t = _unpack(x)
+    return q, t, n_c, n_s
+
+
+class LaserOdometry:
+    """Host-side wrapper holding the frame chain state (reference
+    LaserOdometry class fields, laser_odometry.h:96-146). World pose is
+    accumulated in float64 on host to avoid drift over thousands of frames."""
+
+    def __init__(self, cfg: LaserOdometryConfig):
+        import numpy as np
+
+        self.cfg = cfg
+        self.np = np
+        self.initialized = False
+        self.corner_last: FeatureCloud | None = None
+        self.surf_last: FeatureCloud | None = None
+        self.q_w = np.array([0.0, 0.0, 0.0, 1.0])
+        self.t_w = np.zeros(3)
+        self.q_f2f = np.array([0.0, 0.0, 0.0, 1.0])
+        self.t_f2f = np.zeros(3)
+        self.frame_count = 0
+        self.n_corner = 0
+        self.n_surf = 0
+
+    def step(self, feats: ScanFeatures, prior_q=None, prior_t=None):
+        """Process one frame's features. prior_(q,t): optional VO seed
+        (reference :223-236, used when detach_VO_LO=false)."""
+        np = self.np
+        if not self.initialized:
+            self.initialized = True
+        else:
+            if prior_q is not None:
+                q0 = jnp.asarray(prior_q, jnp.float32)
+                t0 = jnp.asarray(prior_t, jnp.float32)
+            else:
+                q0 = jnp.asarray(self.q_f2f, jnp.float32)
+                t0 = jnp.asarray(self.t_f2f, jnp.float32)
+            q, t, n_c, n_s = solve_lo(
+                feats.sharp, feats.flat, self.corner_last, self.surf_last,
+                q0, t0, self.cfg,
+            )
+            q = np.asarray(q, np.float64)
+            t = np.asarray(t, np.float64)
+            self.n_corner, self.n_surf = int(n_c), int(n_s)
+            self.q_f2f, self.t_f2f = q, t
+            # world accumulation (reference :477-478)
+            from scipy.spatial.transform import Rotation as R
+
+            rw = R.from_quat(self.q_w)
+            self.t_w = self.t_w + rw.apply(t)
+            self.q_w = (rw * R.from_quat(q)).as_quat()
+        # swap feature clouds into "last" (reference :511-526)
+        self.corner_last = feats.less_sharp
+        self.surf_last = feats.less_flat
+        self.frame_count += 1
+        skip_frame = ((self.frame_count - 1) % self.cfg.mapping_skip_frame) != 0
+        return {
+            "q_f2f": self.q_f2f,
+            "t_f2f": self.t_f2f,
+            "q_w": self.q_w,
+            "t_w": self.t_w,
+            "skip_frame": skip_frame,
+        }

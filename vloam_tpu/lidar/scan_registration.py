@@ -1,0 +1,269 @@
+"""LOAM scan registration as a fixed-shape vectorized kernel.
+
+Reimplements reference src/lidar_odometry_mapping/src/scan_registration.cpp
+(input():131-449) the TPU way:
+
+- range/NaN filtering, ring assignment and azimuth relative time are pure
+  elementwise ops over a padded [N] point buffer (reference :157-267),
+- the per-ring concatenated cloud becomes a dense [n_scans, ring_capacity]
+  layout built with one stable sort (reference :276-281),
+- the 11-point curvature (reference :288-307) is a windowed sum per ring,
+- the sequential greedy feature selection with neighbor suppression
+  (reference :312-431) becomes a vmapped-over-rings lax loop: 6 sectors x
+  (20 corner picks + 4 flat picks), each pick an argmax/argmin over the ring
+  lane — rings are independent in the reference (suppression never crosses a
+  ring boundary), so the 64 rings run data-parallel on the VPU,
+- the per-ring 0.2 m VoxelGrid on the less-flat cloud (reference :433-439)
+  uses the hash/sort/segment-mean kernel in voxel.py.
+
+Outputs are ScanFeatures with masked fixed-capacity clouds.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LidarProfile, ScanRegistrationConfig
+from .types import FeatureCloud, ScanFeatures
+from .voxel import voxel_downsample
+
+_2PI = 2.0 * math.pi
+
+
+def _trunc_int(x):
+    """C-style int() cast: truncation toward zero."""
+    return jnp.trunc(x).astype(jnp.int32)
+
+
+def assign_rings(xyz: jnp.ndarray, valid: jnp.ndarray, profile: LidarProfile):
+    """Elevation-angle ring id (reference scan_registration.cpp:192-226)."""
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    angle = jnp.degrees(jnp.arctan2(z, jnp.sqrt(x * x + y * y)))
+    n = profile.n_scans
+    if n == 16:
+        sid = _trunc_int((angle + 15.0) / 2.0 + 0.5)
+        ok = (sid >= 0) & (sid < n)
+    elif n == 32:
+        sid = _trunc_int((angle + 92.0 / 3.0) * 3.0 / 4.0)
+        ok = (sid >= 0) & (sid < n)
+    elif n == 64:
+        upper = _trunc_int((2.0 - angle) * 3.0 + 0.5)
+        lower = n // 2 + _trunc_int((-8.83 - angle) * 2.0 + 0.5)
+        sid = jnp.where(angle >= -8.83, upper, lower)
+        ok = (angle <= 2.0) & (angle >= -24.33) & (sid >= 0) & (sid <= 50)
+    else:
+        raise ValueError(f"unsupported scan_line {n}")
+    return sid, valid & ok
+
+
+def _relative_time(xyz, valid_range, valid_full):
+    """Azimuth-interpolated relative time (reference :166-264), vectorized.
+
+    The reference's sequential halfPassed flag becomes an exclusive
+    cumulative-or over the trigger condition.
+    """
+    n = xyz.shape[0]
+    ori = -jnp.arctan2(xyz[:, 1], xyz[:, 0])
+    idx = jnp.arange(n)
+    first = jnp.argmax(valid_range)
+    last = n - 1 - jnp.argmax(valid_range[::-1])
+    start_ori = ori[first]
+    end_ori = ori[last] + _2PI
+    span = end_ori - start_ori
+    end_ori = jnp.where(span > 3 * math.pi, end_ori - _2PI,
+                        jnp.where(span < math.pi, end_ori + _2PI, end_ori))
+
+    before = ori
+    before = jnp.where(before < start_ori - math.pi / 2, before + _2PI, before)
+    before = jnp.where(before > start_ori + 3 * math.pi / 2, before - _2PI, before)
+    trigger = valid_full & (before - start_ori > math.pi)
+    half_passed = jnp.concatenate([jnp.zeros((1,), bool),
+                                   jnp.cumsum(trigger.astype(jnp.int32))[:-1] > 0])
+
+    after = ori + _2PI
+    after = jnp.where(after < end_ori - 3 * math.pi / 2, after + _2PI, after)
+    after = jnp.where(after > end_ori + math.pi / 2, after - _2PI, after)
+
+    o = jnp.where(half_passed, after, before)
+    return (o - start_ori) / (end_ori - start_ori)
+
+
+def _ring_layout(xyz, ring, rel_time, valid, n_scans: int, ring_cap: int):
+    """Scatter points into a dense [n_scans, ring_cap] layout preserving
+    firing order within each ring (reference :266, :276-281)."""
+    n = xyz.shape[0]
+    key = jnp.where(valid, ring, n_scans) * n + jnp.arange(n)
+    order = jnp.argsort(key)  # ring-major, stable in firing order
+    ring_s = jnp.where(valid, ring, n_scans)[order]
+    counts_raw = jnp.bincount(ring_s, length=n_scans + 1)[:n_scans]
+    counts = jnp.minimum(counts_raw, ring_cap)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), counts_raw.dtype), jnp.cumsum(counts_raw)[:-1]]
+    )
+    rank = jnp.arange(n) - starts[jnp.minimum(ring_s, n_scans - 1)]
+    dest_r = jnp.where((ring_s < n_scans) & (rank >= 0) & (rank < ring_cap), ring_s, n_scans)
+    rank = jnp.clip(rank, 0, ring_cap - 1)
+
+    pts = jnp.zeros((n_scans + 1, ring_cap, 3), xyz.dtype)
+    pts = pts.at[dest_r, rank].set(xyz[order], mode="drop")[:n_scans]
+    rt = jnp.zeros((n_scans + 1, ring_cap), xyz.dtype)
+    rt = rt.at[dest_r, rank].set(rel_time[order], mode="drop")[:n_scans]
+    return pts, rt, counts
+
+
+def _curvature(ring_pts: jnp.ndarray) -> jnp.ndarray:
+    """11-point curvature per ring: ||sum_{|l|<=5} p_{i+l} - 11 p_i||^2
+    (reference :288-307)."""
+    cs = jnp.concatenate(
+        [jnp.zeros_like(ring_pts[:, :1]), jnp.cumsum(ring_pts, axis=1)], axis=1
+    )  # [S, R+1, 3]
+    r = ring_pts.shape[1]
+    pad = jnp.pad(cs, ((0, 0), (5, 6), (0, 0)), mode="edge")
+    win = pad[:, 11 : 11 + r] - pad[:, :r]  # sum over [i-5, i+5] (clamped)
+    diff = win - 11.0 * ring_pts
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def _suppress_window(picked, pts, ind, gap_sq):
+    """Mark +-5 neighbors of a picked point, stopping at a 3D gap
+    (reference :353-376)."""
+    win = jax.lax.dynamic_slice(pts, (ind - 5, 0), (11, 3))  # [11,3] around ind
+    d = jnp.sum((win[1:] - win[:-1]) ** 2, axis=-1)  # d[l] = |p[ind-5+l+1]-p[ind-5+l]|^2
+    fwd = d[5:]  # gaps (ind,ind+1) ... (ind+4,ind+5)
+    bwd = d[:5][::-1]  # gaps (ind-1,ind) ... (ind-5,ind-4)
+    sup_f = jnp.cumprod((fwd <= gap_sq).astype(jnp.int32)) > 0
+    sup_b = jnp.cumprod((bwd <= gap_sq).astype(jnp.int32)) > 0
+    window = jnp.concatenate([sup_b[::-1], jnp.ones((1,), bool), sup_f])
+    old = jax.lax.dynamic_slice(picked, (ind - 5,), (11,))
+    return jax.lax.dynamic_update_slice(picked, old | window, (ind - 5,))
+
+
+def _select_ring(pts, curv, cnt, cfg: ScanRegistrationConfig):
+    """Greedy feature selection for one ring. Returns label [R] int32:
+    2 sharp, 1 less-sharp, -1 flat, 0 none; and the selectable-range mask."""
+    r_cap = pts.shape[0]
+    idx = jnp.arange(r_cap)
+    start, end = 5, cnt - 6  # scanStartInd/scanEndInd in-ring (reference :278-280)
+    ring_ok = (end - start) >= 6  # reference :314
+    exists = idx < cnt
+    gap_sq = cfg.neighbor_suppress_gap_sq
+    thr = cfg.curvature_threshold
+    n_corner = cfg.max_less_sharp_per_sector
+    n_flat = cfg.max_flat_per_sector
+
+    def sector_body(j, state):
+        picked, label = state
+        sp = start + (end - start) * j // cfg.n_sectors
+        ep = start + (end - start) * (j + 1) // cfg.n_sectors - 1
+        in_sector = (idx >= sp) & (idx <= ep) & ring_ok & exists
+
+        def corner_pick(k, st):
+            picked, label = st
+            c = jnp.where(in_sector & ~picked & (curv > thr), curv, -jnp.inf)
+            ind = jnp.argmax(c)
+            ok = c[ind] > thr
+            lab = jnp.where(k < cfg.max_sharp_per_sector, 2, 1)
+            label = jnp.where(ok, label.at[ind].set(lab), label)
+            new_picked = _suppress_window(picked, pts, ind, gap_sq)
+            picked = jnp.where(ok, new_picked, picked)
+            return picked, label
+
+        picked, label = jax.lax.fori_loop(0, n_corner, corner_pick, (picked, label))
+
+        def flat_pick(k, st):
+            picked, label = st
+            c = jnp.where(in_sector & ~picked & (curv < thr), curv, jnp.inf)
+            ind = jnp.argmin(c)
+            ok = c[ind] < thr
+            label = jnp.where(ok, label.at[ind].set(-1), label)
+            # The reference breaks out before suppressing the 4th flat pick
+            # (scan_registration.cpp:390-394), so the last pick is not
+            # suppressed.
+            new_picked = _suppress_window(picked, pts, ind, gap_sq)
+            picked = jnp.where(ok & (k < n_flat - 1), new_picked, picked)
+            return picked, label
+
+        picked, label = jax.lax.fori_loop(0, n_flat, flat_pick, (picked, label))
+        return picked, label
+
+    picked0 = jnp.zeros((r_cap,), bool)
+    label0 = jnp.zeros((r_cap,), jnp.int32)
+    _, label = jax.lax.fori_loop(0, cfg.n_sectors, sector_body, (picked0, label0))
+    selectable = (idx >= start) & (idx <= end - 1) & ring_ok & exists
+    return label, selectable
+
+
+def _compact(xyz, ring, rel_time, mask, cap):
+    """Gather masked entries of a flat cloud into a FeatureCloud of size cap
+    (valid entries first, order preserved)."""
+    n = mask.shape[0]
+    key = jnp.where(mask, 0, 1) * n + jnp.arange(n)
+    order = jnp.argsort(key)[:cap]
+    m = mask[order]
+    return FeatureCloud(
+        xyz=jnp.where(m[:, None], xyz[order], 0.0),
+        ring=jnp.where(m, ring[order], 0).astype(jnp.int32),
+        rel_time=jnp.where(m, rel_time[order], 0.0),
+        mask=m,
+    )
+
+
+@partial(jax.jit, static_argnames=("profile", "cfg"))
+def register_scan(
+    xyz: jnp.ndarray,
+    n_points: jnp.ndarray,
+    profile: LidarProfile,
+    cfg: ScanRegistrationConfig,
+) -> ScanFeatures:
+    """Extract LOAM features from one padded scan [max_points, 3]."""
+    n = xyz.shape[0]
+    in_range = jnp.arange(n) < n_points
+    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    xyz = jnp.where(finite[:, None], xyz, 0.0)
+    rng_sq = jnp.sum(xyz * xyz, axis=-1)
+    valid_range = in_range & finite & (rng_sq >= profile.minimum_range**2)
+
+    ring, valid = assign_rings(xyz, valid_range, profile)
+    rel = _relative_time(xyz, valid_range, valid)
+
+    S, R = profile.n_scans, profile.ring_capacity
+    pts, rt, counts = _ring_layout(xyz, ring, rel, valid, S, R)
+    curv = _curvature(pts)
+
+    label, selectable = jax.vmap(lambda p, c, k: _select_ring(p, c, k, cfg))(
+        pts, curv, counts
+    )
+
+    ring_ids = jnp.broadcast_to(jnp.arange(S)[:, None], (S, R))
+    exists = jnp.arange(R)[None, :] < counts[:, None]
+
+    flat_xyz = pts.reshape(-1, 3)
+    flat_ring = ring_ids.reshape(-1)
+    flat_rt = rt.reshape(-1)
+    flat_label = label.reshape(-1)
+    flat_sel = selectable.reshape(-1)
+    flat_exists = exists.reshape(-1)
+
+    sharp = _compact(flat_xyz, flat_ring, flat_rt, flat_label == 2, cfg.sharp_cap)
+    less_sharp = _compact(flat_xyz, flat_ring, flat_rt, flat_label >= 1, cfg.less_sharp_cap)
+    flat = _compact(flat_xyz, flat_ring, flat_rt, flat_label == -1, cfg.flat_cap)
+
+    lf_mask = flat_sel & (flat_label <= 0)
+    lf_xyz, lf_extra, lf_ring, lf_m = voxel_downsample(
+        flat_xyz, lf_mask, cfg.less_flat_leaf, cfg.less_flat_cap,
+        partition=flat_ring, extra=flat_rt[:, None],
+    )
+    less_flat = FeatureCloud(
+        xyz=jnp.where(lf_m[:, None], lf_xyz, 0.0),
+        ring=jnp.where(lf_m, lf_ring, 0),
+        rel_time=jnp.where(lf_m, lf_extra[:, 0], 0.0),
+        mask=lf_m,
+    )
+
+    full = FeatureCloud(xyz=flat_xyz, ring=flat_ring, rel_time=flat_rt, mask=flat_exists)
+    return ScanFeatures(sharp=sharp, less_sharp=less_sharp, flat=flat,
+                        less_flat=less_flat, full=full)
