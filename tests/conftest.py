@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon site config can force the TPU platform regardless of the env var;
+# the config update below wins as long as it runs before backend init.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
 import numpy as np
 import pytest
 

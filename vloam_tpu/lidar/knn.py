@@ -30,10 +30,15 @@ def _pad_to(x, size, axis=0, fill=0):
 
 
 def _dist_sq(q: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-    """[Tq, Tc] squared distances via MXU."""
+    """[Tq, Tc] squared distances via MXU.
+
+    Precision.HIGHEST forces true-f32 accumulation (3-pass bf16 on TPU):
+    the default bf16 matmul gives ~1e-2 distance error, which corrupts
+    nearest-neighbor ordering at LOAM's 0.05-0.2 m feature scales."""
     qq = jnp.sum(q * q, axis=-1, keepdims=True)
     cc = jnp.sum(c * c, axis=-1)[None, :]
-    qc = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
+    qc = jnp.dot(q, c.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(qq + cc - 2.0 * qc, 0.0)
 
 
@@ -79,7 +84,7 @@ def masked_knn(
     return bd.reshape(-1, k)[:Q], bi.reshape(-1, k)[:Q]
 
 
-@partial(jax.jit, static_argnames=("c_tile",))
+@partial(jax.jit, static_argnames=("mode", "c_tile"))
 def nearest_and_ring_constrained(
     queries: jnp.ndarray,
     cands: jnp.ndarray,

@@ -19,13 +19,21 @@ _P1, _P2, _P3, _P4 = 73856093, 19349669, 83492791, 2654435761
 
 
 def _hash_cells(ix, iy, iz, part):
+    """Murmur3-finalized spatial hash: the plain xor-of-products hash has
+    ~40% collisions on small coordinate ranges; the avalanche finalizer
+    brings it to the ~N^2/2^32 birthday bound."""
     u = jnp.uint32
     h = (
         (ix.astype(u) * u(_P1))
-        ^ (iy.astype(u) * u(_P2))
-        ^ (iz.astype(u) * u(_P3))
-        ^ (part.astype(u) * u(_P4))
+        + (iy.astype(u) * u(_P2))
+        + (iz.astype(u) * u(_P3))
+        + (part.astype(u) * u(_P4))
     )
+    h = h ^ (h >> u(16))
+    h = h * u(0x85EBCA6B)
+    h = h ^ (h >> u(13))
+    h = h * u(0xC2B2AE35)
+    h = h ^ (h >> u(16))
     return h
 
 

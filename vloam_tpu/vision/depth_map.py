@@ -1,0 +1,116 @@
+"""LiDAR -> camera depth association (DEMO-style).
+
+Reimplements reference src/visual_odometry/src/point_cloud_util.cpp:
+- projectPointCloud (:148-174): X_tilde * camTvelo^T * rect0Tcam^T * P^T,
+  front-filter depth > 0.1,
+- downsamplePointCloud (:205-260): 5-px bucket grid averaging (the reference
+  uses a quirky incremental update that overweights late points; we compute
+  the true bucket mean — the difference is sub-pixel noise),
+- queryDepth (:302-407): gather the (2r+1)^2 bucket window, require >= 10
+  non-empty neighbors, inverse-distance-weight the 3 nearest:
+  z = sum_i z_i * prod_{j != i} d_j / (1e-4 + sum_i prod_{j != i} d_j).
+
+All ops are scatter/gather over a fixed [W/g, H/g] grid — jit-native.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import VisualOdometryConfig
+
+
+class DepthGrid(NamedTuple):
+    u: jnp.ndarray  # [GW, GH] mean pixel x per bucket
+    v: jnp.ndarray  # [GW, GH]
+    z: jnp.ndarray  # [GW, GH] mean depth
+    cnt: jnp.ndarray  # [GW, GH] int32
+
+
+def grid_shape(cfg: VisualOdometryConfig) -> tuple[int, int]:
+    g = cfg.downsample_grid_size
+    return (-(-cfg.img_width // g), -(-cfg.img_height // g))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def build_depth_grid(
+    pts_velo: jnp.ndarray,  # [N, 3] velodyne-frame points
+    mask: jnp.ndarray,  # [N]
+    P_velo_to_img: jnp.ndarray,  # [3, 4] = P_rect0 @ rect0_T_cam @ cam_T_velo
+    cfg: VisualOdometryConfig,
+) -> DepthGrid:
+    gw, gh = grid_shape(cfg)
+    g = cfg.downsample_grid_size
+    ph = pts_velo @ P_velo_to_img[:, :3].T + P_velo_to_img[:, 3]
+    z = ph[:, 2]
+    front = mask & (z > cfg.min_depth)
+    u = ph[:, 0] / jnp.where(front, z, 1.0)
+    v = ph[:, 1] / jnp.where(front, z, 1.0)
+    ix = jnp.floor(u / g).astype(jnp.int32)
+    iy = jnp.floor(v / g).astype(jnp.int32)
+    ok = front & (ix >= 0) & (ix < gw) & (iy >= 0) & (iy < gh)
+    ix = jnp.where(ok, ix, gw)  # out-of-range -> dropped
+    iy = jnp.where(ok, iy, gh)
+    w = ok.astype(jnp.float32)
+    shape = (gw + 1, gh + 1)
+    su = jnp.zeros(shape, jnp.float32).at[ix, iy].add(u * w, mode="drop")
+    sv = jnp.zeros(shape, jnp.float32).at[ix, iy].add(v * w, mode="drop")
+    sz = jnp.zeros(shape, jnp.float32).at[ix, iy].add(z * w, mode="drop")
+    sc = jnp.zeros(shape, jnp.float32).at[ix, iy].add(w, mode="drop")
+    denom = jnp.maximum(sc, 1.0)
+    return DepthGrid(
+        u=(su / denom)[:gw, :gh],
+        v=(sv / denom)[:gw, :gh],
+        z=(sz / denom)[:gw, :gh],
+        cnt=sc[:gw, :gh].astype(jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def query_depth(
+    grid: DepthGrid, xy: jnp.ndarray, cfg: VisualOdometryConfig
+) -> jnp.ndarray:
+    """Vectorized queryDepth over [Q, 2] pixel coords. Returns [Q] depth,
+    -1 where the neighborhood is too sparse (reference :336-338)."""
+    g = cfg.downsample_grid_size
+    r = cfg.depth_search_radius
+    win = 2 * r + 1
+    gw, gh = grid.u.shape
+
+    pad = ((r, r), (r, r))
+    pu = jnp.pad(grid.u, pad)
+    pv = jnp.pad(grid.v, pad)
+    pz = jnp.pad(grid.z, pad)
+    pc = jnp.pad(grid.cnt, pad)
+
+    def one(pt):
+        x, y = pt[0], pt[1]
+        ix = jnp.clip(jnp.floor(x / g).astype(jnp.int32), 0, gw - 1)
+        iy = jnp.clip(jnp.floor(y / g).astype(jnp.int32), 0, gh - 1)
+        wu = jax.lax.dynamic_slice(pu, (ix, iy), (win, win)).reshape(-1)
+        wv = jax.lax.dynamic_slice(pv, (ix, iy), (win, win)).reshape(-1)
+        wz = jax.lax.dynamic_slice(pz, (ix, iy), (win, win)).reshape(-1)
+        wc = jax.lax.dynamic_slice(pc, (ix, iy), (win, win)).reshape(-1)
+        # in-bounds test replicates the reference's index check: padding cells
+        # have cnt == 0 so they are excluded automatically.
+        ok = wc > 0
+        n_ok = jnp.sum(ok.astype(jnp.int32))
+        dist = jnp.sqrt((x - wu) ** 2 + (y - wv) ** 2)
+        dist = jnp.where(ok, dist, jnp.inf)
+        nd, ni = jax.lax.top_k(-dist, 3)
+        d3 = -nd
+        z3 = wz[ni]
+        num = (
+            z3[0] * d3[1] * d3[2]
+            + z3[1] * d3[0] * d3[2]
+            + z3[2] * d3[0] * d3[1]
+        )
+        den = 1e-4 + d3[1] * d3[2] + d3[0] * d3[2] + d3[0] * d3[1]
+        z = num / den
+        return jnp.where(n_ok >= cfg.min_depth_neighbors, z, -1.0)
+
+    return jax.vmap(one)(xy)

@@ -1,0 +1,126 @@
+"""Shi-Tomasi corner detection + ZNCC patch descriptors + MXU matching.
+
+TPU-native replacement for the reference's OpenCV feature pipeline
+(image_util.cpp):
+
+- detKeypoints (:12-36): cv::goodFeaturesToTrack with maxCorners=1024,
+  quality 0.03, minDistance 7.5, blockSize 5 -> Sobel gradients + box-filter
+  structure tensor + min-eigenvalue response + maxpool NMS + top-k,
+- descKeypoints (:162-212, ORB): replaced by a 16x16 zero-normalized patch
+  descriptor — binary Hamming matching is hostile to the MXU, while ZNCC
+  patch correlation IS a matmul; ratio-test semantics are preserved,
+- matchDescriptors (:214-296): BF KNN(k=2) + 0.8 ratio test -> one [K0,K1]
+  similarity matmul + top-2 + ratio test.
+
+Images are float32 [H, W] in [0, 1].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import VisualOdometryConfig
+
+
+def _conv2_same(img: jnp.ndarray, kern: jnp.ndarray) -> jnp.ndarray:
+    return jax.scipy.signal.convolve2d(img, kern, mode="same")
+
+
+def _box_filter(img: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Unnormalized box sum via two cumsum passes (separable, O(HW))."""
+    pad = size // 2
+    cs = jnp.cumsum(jnp.pad(img, ((0, 0), (pad + 1, pad)), mode="edge"), axis=1)
+    h = cs[:, size:] - cs[:, :-size]
+    cs2 = jnp.cumsum(jnp.pad(h, ((pad + 1, pad), (0, 0)), mode="edge"), axis=0)
+    return cs2[size:, :] - cs2[:-size, :]
+
+
+_SOBEL_X = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32) / 8.0
+_SOBEL_Y = _SOBEL_X.T
+
+
+def min_eig_response(img: jnp.ndarray, block: int) -> jnp.ndarray:
+    """Shi-Tomasi min-eigenvalue of the block-averaged structure tensor."""
+    gx = _conv2_same(img, _SOBEL_X)
+    gy = _conv2_same(img, _SOBEL_Y)
+    a = _box_filter(gx * gx, block)
+    b = _box_filter(gx * gy, block)
+    c = _box_filter(gy * gy, block)
+    tr = 0.5 * (a + c)
+    det_term = jnp.sqrt(jnp.maximum(0.25 * (a - c) ** 2 + b * b, 0.0))
+    return tr - det_term
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def detect_keypoints(img: jnp.ndarray, cfg: VisualOdometryConfig):
+    """Returns (xy [K, 2] float32 pixel coords, score [K], mask [K]).
+    K = cfg.max_keypoints."""
+    resp = min_eig_response(img, cfg.shi_tomasi_block)
+    h, w = resp.shape
+    # exclude borders (gradient + descriptor support)
+    m = cfg.descriptor_patch
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    interior = (yy >= m) & (yy < h - m) & (xx >= m) & (xx < w - m)
+    resp = jnp.where(interior, resp, -jnp.inf)
+
+    # quality gate relative to the global max (goodFeaturesToTrack semantics)
+    thr = cfg.shi_tomasi_quality * jnp.max(resp)
+
+    # min-distance NMS via maxpool: survive only at the local argmax in a
+    # (2r+1)^2 window, r = ceil(min_distance)
+    r = int(-(-cfg.shi_tomasi_min_distance // 1))
+    win = 2 * r + 1
+    pooled = jax.lax.reduce_window(
+        resp, -jnp.inf, jax.lax.max, (win, win), (1, 1), "SAME"
+    )
+    is_peak = (resp >= pooled) & (resp > thr) & jnp.isfinite(resp)
+
+    flat = jnp.where(is_peak.reshape(-1), resp.reshape(-1), -jnp.inf)
+    score, idx = jax.lax.top_k(flat, cfg.max_keypoints)
+    ky = (idx // w).astype(jnp.float32)
+    kx = (idx % w).astype(jnp.float32)
+    mask = jnp.isfinite(score)
+    xy = jnp.stack([kx, ky], axis=-1)
+    return jnp.where(mask[:, None], xy, 0.0), jnp.where(mask, score, 0.0), mask
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def describe_keypoints(img: jnp.ndarray, xy: jnp.ndarray, cfg: VisualOdometryConfig):
+    """ZNCC patch descriptors: [K, P*P] unit-normalized."""
+    p = cfg.descriptor_patch
+    offs = jnp.arange(p) - p // 2
+
+    def one(pt):
+        x0 = pt[0].astype(jnp.int32)
+        y0 = pt[1].astype(jnp.int32)
+        patch = jax.lax.dynamic_slice(
+            img, (y0 + offs[0], x0 + offs[0]), (p, p)
+        ).reshape(-1)
+        patch = patch - jnp.mean(patch)
+        n = jnp.linalg.norm(patch)
+        return patch / jnp.maximum(n, 1e-6)
+
+    return jax.vmap(one)(xy)
+
+
+@partial(jax.jit, static_argnames=("ratio",))
+def match_descriptors(
+    desc0: jnp.ndarray, mask0: jnp.ndarray,
+    desc1: jnp.ndarray, mask1: jnp.ndarray,
+    ratio: float = 0.8,
+):
+    """KNN(k=2) + ratio test on ZNCC distance (matchDescriptors semantics,
+    image_util.cpp:270-283). Returns (idx1 [K0], valid [K0]): for each
+    prev-frame descriptor its current-frame match."""
+    sim = jnp.dot(desc0, desc1.T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    d = jnp.sqrt(jnp.maximum(2.0 - 2.0 * sim, 0.0))
+    d = jnp.where(mask1[None, :], d, jnp.inf)
+    nd, ni = jax.lax.top_k(-d, 2)
+    d1, d2 = -nd[:, 0], -nd[:, 1]
+    valid = mask0 & jnp.isfinite(d1) & (d1 < ratio * d2)
+    return ni[:, 0], valid
