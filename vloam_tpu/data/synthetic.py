@@ -156,6 +156,58 @@ def pad_scan(pts: np.ndarray, cap: int) -> tuple[np.ndarray, int]:
     return out, n
 
 
+def _ray_scene_hit(origins, dirs, scene):
+    """Hit distance + a textured intensity per ray (for camera rendering)."""
+    t = _ray_scene_range(origins, dirs, scene)
+    hit = np.isfinite(t)
+    tt = np.where(hit, t, 0.0)
+    p = origins + dirs * tt[:, None]
+    # procedural texture so images have trackable gradients everywhere
+    tex = (
+        0.55
+        + 0.18 * np.sin(2.1 * p[:, 0]) * np.cos(1.7 * p[:, 1])
+        + 0.12 * np.sin(5.3 * p[:, 2] + 1.3 * p[:, 0])
+        + 0.08 * np.sin(11.0 * p[:, 1])
+    )
+    shade = np.clip(1.0 - tt / (scene.max_range * 1.2), 0.2, 1.0)
+    img = np.where(hit, np.clip(tex * shade, 0.0, 1.0), 0.08)
+    return img, np.where(hit, tt, np.inf)
+
+
+def render_camera(
+    scene: Scene,
+    T_world_cam: np.ndarray,  # [4,4] cam->world; cam: z fwd, x right, y down
+    K: np.ndarray,  # [3,3]
+    width: int,
+    height: int,
+) -> np.ndarray:
+    """Raycast a grayscale image [H, W] float32 in [0, 1]."""
+    u, v = np.meshgrid(np.arange(width), np.arange(height))
+    pix = np.stack([u.ravel() + 0.5, v.ravel() + 0.5, np.ones(u.size)], axis=0)
+    d_cam = np.linalg.solve(K, pix).T
+    d_cam /= np.linalg.norm(d_cam, axis=1, keepdims=True)
+    R = T_world_cam[:3, :3]
+    t = T_world_cam[:3, 3]
+    dw = d_cam @ R.T
+    ow = np.broadcast_to(t, dw.shape)
+    img, _ = _ray_scene_hit(ow, dw, scene)
+    return img.reshape(height, width).astype(np.float32)
+
+
+def default_cam_calib(width: int = 320, height: int = 96):
+    """KITTI-like intrinsics scaled to the requested size, plus the
+    velo->cam extrinsic chain (cam: z fwd, x right, y down; velo: x fwd,
+    y left, z up; cam sits at the velo origin for simplicity)."""
+    f = 718.0 * width / 1242.0  # KITTI-like focal scaled to requested width
+    K = np.array([[f, 0.0, width / 2.0], [0.0, f, height * 0.55], [0.0, 0.0, 1.0]])
+    # cam axes in velo frame: x_cam = -y_velo, y_cam = -z_velo, z_cam = x_velo
+    velo_T_cam = np.eye(4)
+    velo_T_cam[:3, :3] = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], float)
+    cam_T_velo = np.linalg.inv(velo_T_cam)
+    P_rect0 = np.hstack([K, np.zeros((3, 1))])
+    return K, P_rect0, cam_T_velo, velo_T_cam
+
+
 def drive_trajectory(n_frames: int, speed: float = 1.0, yaw_rate: float = 0.01,
                      start: np.ndarray | None = None) -> list[np.ndarray]:
     """Ground-truth sensor poses: gentle arc along +x (per-frame motion

@@ -148,7 +148,7 @@ def _surf_terms(stack_xyz, stack_mask, map_pts, map_mask, x, cfg):
     )  # columns are cofactor rows -> adj^T arrangement s.t. inv = adj / det
     n = jnp.einsum("bij,bj->bi", adj, Atb) / jnp.where(
         jnp.abs(det) > 1e-12, det, jnp.inf
-    )
+    )[:, None]
     norm = jnp.linalg.norm(n, axis=-1)
     nood = 1.0 / jnp.maximum(norm, _EPS)  # negative_OA_dot_norm (:558)
     n_hat = n / jnp.maximum(norm, _EPS)[:, None]
