@@ -1,0 +1,82 @@
+import os
+import sys
+import tempfile
+
+import numpy as np
+import jax
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    q, t = jax.jit(fn)(*args)
+    q, t = np.asarray(q), np.asarray(t)
+    assert np.isfinite(q).all() and np.isfinite(t).all()
+    assert abs(np.linalg.norm(q) - 1.0) < 1e-3
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_native_io_roundtrip():
+    from vloam_tpu.runtime.native_io import PrefetchLoader, load_bin_native
+
+    d = tempfile.mkdtemp()
+    paths = []
+    rng = np.random.default_rng(0)
+    for k in range(4):
+        pts = rng.random((500 + 100 * k, 4)).astype(np.float32)
+        p = os.path.join(d, f"{k:06d}.bin")
+        pts.tofile(p)
+        paths.append(p)
+    x = load_bin_native(paths[1])
+    want = np.fromfile(paths[1], np.float32).reshape(-1, 4)[:, :3]
+    np.testing.assert_allclose(x, want)
+    ld = PrefetchLoader(paths, max_pts=1024, n_threads=2)
+    seen = 0
+    for k, (arr, cnt) in enumerate(ld):
+        want = np.fromfile(paths[k], np.float32).reshape(-1, 4)
+        assert cnt == len(want)
+        np.testing.assert_allclose(arr[:cnt], want[:, :3])
+        seen += 1
+    assert seen == 4
+
+
+def test_kitti_io_roundtrip(tmp_path):
+    from vloam_tpu.data.kitti import (KittiOdometrySequence,
+                                      load_velodyne_bin)
+
+    seq_dir = tmp_path / "sequences" / "00"
+    (seq_dir / "velodyne").mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    pts = rng.random((1000, 4)).astype(np.float32)
+    pts.tofile(seq_dir / "velodyne" / "000000.bin")
+    with open(seq_dir / "calib.txt", "w") as f:
+        P = "7.188560e+02 0 6.071928e+02 0 0 7.188560e+02 1.852157e+02 0 0 0 1 0"
+        f.write(f"P0: {P}\nP1: {P}\nP2: {P}\nP3: {P}\n")
+        f.write("Tr: 1 0 0 0 0 1 0 0 0 0 1 0\n")
+    ds = KittiOdometrySequence(str(tmp_path), "00")
+    assert len(ds) == 1
+    frame = ds.frame(0)
+    np.testing.assert_allclose(frame["points"], pts[:, :3])
+    assert ds.calib.K[0, 0] == pytest.approx(718.856)
+
+
+def test_cli_synthetic_run(tmp_path, capsys):
+    from vloam_tpu.cli import main
+
+    # tiny run: 3 frames, lidar-only to keep it quick
+    rc = main(["run", "--synthetic", "3", "--mode", "lidar-only",
+               "--out", str(tmp_path), "--verbose", "0"])
+    assert rc == 0
+    assert (tmp_path / "MO1.txt").exists()
+    out = capsys.readouterr().out
+    assert "timing summary" in out
+    assert "MO" in out

@@ -1,0 +1,164 @@
+"""Command-line driver.
+
+Replaces the reference's actionlib server + rosbag feed
+(vloam_main_node.cpp:182-222, action schema {date, seq, start_frame,
+end_frame}): sequences are driven directly from KITTI files (or the built-in
+synthetic world), trajectories are written in the same
+results/<run>/{VO,LO,MO}{0,1}.txt layout, and progress is reported on
+stdout (the actionlib feedback analogue).
+
+Usage:
+  python -m vloam_tpu run --synthetic 20 --out results/synth
+  python -m vloam_tpu run --odometry-root /data/kitti --seq 00 --mode combined
+  python -m vloam_tpu run --raw-root /data/kitti_raw --date 2011_09_26 --drive 0001
+  python -m vloam_tpu eval --gt gt.txt --pred results/synth/MO1.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_run(sub):
+    p = sub.add_parser("run", help="run the VLOAM pipeline on a sequence")
+    p.add_argument("--synthetic", type=int, default=0, metavar="N",
+                   help="run N synthetic frames instead of a dataset")
+    p.add_argument("--odometry-root", help="KITTI odometry dataset root")
+    p.add_argument("--seq", default="00")
+    p.add_argument("--raw-root", help="KITTI raw dataset root")
+    p.add_argument("--date", default="2011_09_26")
+    p.add_argument("--drive", default="0001")
+    p.add_argument("--start-frame", type=int, default=0)
+    p.add_argument("--end-frame", type=int, default=-1)
+    p.add_argument("--mode", choices=["combined", "detached", "lidar-only"],
+                   default="detached")
+    p.add_argument("--out", default=None, help="output directory for txt files")
+    p.add_argument("--profile", default=None, help="write a jax trace here")
+    p.add_argument("--verbose", type=int, default=1)
+
+
+def _add_eval(sub):
+    p = sub.add_parser("eval", help="KITTI metrics between two pose files")
+    p.add_argument("--gt", required=True)
+    p.add_argument("--pred", required=True)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="vloam_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    _add_run(sub)
+    _add_eval(sub)
+    args = ap.parse_args(argv)
+
+    if args.cmd == "eval":
+        from .eval.kitti_metrics import kitti_metrics, load_kitti_poses
+
+        m = kitti_metrics(load_kitti_poses(args.gt), load_kitti_poses(args.pred))
+        print(json.dumps(m, indent=2))
+        return 0
+
+    # cmd == run
+    from .config import kitti_hdl64
+    from .pipeline import run_sequence
+    from .runtime.profiling import summarize_timings
+
+    cfg = kitti_hdl64().replace(
+        detach_VO_LO=(args.mode != "combined"), verbose_level=args.verbose
+    )
+
+    gt_poses = None
+    if args.synthetic:
+        from .data import synthetic
+
+        scene = synthetic.urban_scene(0)
+        K, P_rect0, cam_T_velo, velo_T_cam = synthetic.default_cam_calib(
+            cfg.vo.img_width, cfg.vo.img_height)
+
+        class _SynthCalib:
+            pass
+
+        calib = _SynthCalib()
+        calib.K = K
+        calib.P_rect0 = P_rect0
+        calib.P_velo_to_img = P_rect0 @ np.linalg.inv(velo_T_cam)
+        calib.imu_T_velo = np.eye(4)
+        calib.imu_T_cam0 = velo_T_cam
+        poses = synthetic.drive_trajectory(args.synthetic, speed=1.1,
+                                           yaw_rate=0.01)
+        use_cam = args.mode != "lidar-only"
+
+        def frames():
+            for k, T in enumerate(poses):
+                f = {"points": synthetic.simulate_scan(
+                    scene, T, n_scans=cfg.lidar.n_scans, n_azimuth=1800,
+                    seed=k)}
+                if use_cam:
+                    f["image"] = synthetic.render_camera(
+                        scene, T @ velo_T_cam, K, cfg.vo.img_width,
+                        cfg.vo.img_height)
+                yield f
+
+        frame_iter = frames()
+        # ground truth in cam0-start-frame for metrics
+        T0 = poses[0] @ velo_T_cam
+        gt_poses = np.stack([
+            (np.linalg.inv(T0) @ (T @ velo_T_cam))[:3, :] for T in poses
+        ])
+    elif args.odometry_root:
+        from .data.kitti import KittiOdometrySequence
+
+        ds = KittiOdometrySequence(args.odometry_root, args.seq)
+        calib = ds.calib
+        end = len(ds) if args.end_frame < 0 else min(args.end_frame + 1, len(ds))
+        frame_iter = (ds.frame(i) for i in range(args.start_frame, end))
+    elif args.raw_root:
+        from .data.kitti import KittiRawDrive
+
+        ds = KittiRawDrive(args.raw_root, args.date, args.drive)
+        calib = ds.calib
+        end = len(ds) if args.end_frame < 0 else min(args.end_frame + 1, len(ds))
+        frame_iter = (ds.frame(i) for i in range(args.start_frame, end))
+    else:
+        ap.error("one of --synthetic / --odometry-root / --raw-root required")
+
+    if args.mode == "lidar-only":
+        frame_iter = ({"points": f["points"]} for f in frame_iter)
+
+    def progress(k, info):
+        if args.verbose:
+            print(f"frame {k}: {info['t_frame_ms']:.1f} ms "
+                  f"(scanreg {info.get('t_scanreg_ms', 0):.1f}, "
+                  f"lo {info.get('t_lo_ms', 0):.1f}, "
+                  f"mo {info.get('t_mo_ms', 0):.1f})", flush=True)
+
+    ctx = None
+    if args.profile:
+        from .runtime.profiling import device_trace
+
+        ctx = device_trace(args.profile)
+        ctx.__enter__()
+    try:
+        result = run_sequence(cfg, calib, frame_iter, out_dir=args.out,
+                              progress=progress)
+    finally:
+        if ctx is not None:
+            ctx.__exit__(None, None, None)
+
+    print("timing summary (ms):",
+          json.dumps(summarize_timings(result["timings"]), indent=2))
+    if gt_poses is not None:
+        from .eval.kitti_metrics import kitti_metrics
+
+        for which in ("VO", "LO", "MO"):
+            if which in result and len(result[which]):
+                m = kitti_metrics(gt_poses, result[which], step=1)
+                print(which, json.dumps(m))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

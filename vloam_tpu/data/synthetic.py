@@ -67,21 +67,29 @@ def hdl64_elevations(n_scans: int = 64) -> np.ndarray:
     raise ValueError(n_scans)
 
 
-def _ray_scene_range(origins: np.ndarray, dirs: np.ndarray, scene: Scene) -> np.ndarray:
+def _ray_scene_range(origins: np.ndarray, dirs: np.ndarray, scene: Scene,
+                     with_ids: bool = False):
     """Min positive hit distance per ray (inf when no hit). origins [N,3],
-    dirs [N,3] unit."""
+    dirs [N,3] unit. With with_ids, also returns the hit object id
+    (0 = ground, 1.. = boxes, then poles)."""
     n = dirs.shape[0]
     tmin = np.full(n, np.inf)
+    ids = np.zeros(n, np.int32)
+
+    def update(hit, t, oid):
+        nonlocal tmin, ids
+        better = hit & (t < tmin)
+        tmin = np.where(better, t, tmin)
+        ids = np.where(better, oid, ids)
 
     # ground plane z = ground_z
     dz = dirs[:, 2]
     with np.errstate(divide="ignore", invalid="ignore"):
         t = (scene.ground_z - origins[:, 2]) / dz
-    ok = (np.abs(dz) > 1e-9) & (t > 0.1)
-    tmin = np.where(ok, np.minimum(tmin, np.where(ok, t, np.inf)), tmin)
+    update((np.abs(dz) > 1e-9) & (t > 0.1), t, 0)
 
     # boxes via slab method
-    for b in scene.boxes:
+    for k, b in enumerate(scene.boxes):
         lo = b[[0, 2, 4]]
         hi = b[[1, 3, 5]]
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -89,11 +97,10 @@ def _ray_scene_range(origins: np.ndarray, dirs: np.ndarray, scene: Scene) -> np.
             t2 = (hi[None, :] - origins) / dirs
         tnear = np.nanmax(np.minimum(t1, t2), axis=1)
         tfar = np.nanmin(np.maximum(t1, t2), axis=1)
-        hit = (tnear <= tfar) & (tfar > 0) & (tnear > 0.1)
-        tmin = np.where(hit, np.minimum(tmin, tnear), tmin)
+        update((tnear <= tfar) & (tfar > 0) & (tnear > 0.1), tnear, 1 + k)
 
     # vertical cylinders
-    for p in scene.poles:
+    for k, p in enumerate(scene.poles):
         cx, cy, r, zmin, zmax = p
         ox = origins[:, 0] - cx
         oy = origins[:, 1] - cy
@@ -107,8 +114,10 @@ def _ray_scene_range(origins: np.ndarray, dirs: np.ndarray, scene: Scene) -> np.
             t = (-bq - sq) / (2 * a)
         z = origins[:, 2] + t * dirs[:, 2]
         hit = (disc > 0) & (a > 1e-12) & (t > 0.1) & (z >= zmin) & (z <= zmax)
-        tmin = np.where(hit, np.minimum(tmin, t), tmin)
+        update(hit, t, 1 + len(scene.boxes) + k)
 
+    if with_ids:
+        return tmin, ids
     return tmin
 
 
@@ -157,17 +166,23 @@ def pad_scan(pts: np.ndarray, cap: int) -> tuple[np.ndarray, int]:
 
 
 def _ray_scene_hit(origins, dirs, scene):
-    """Hit distance + a textured intensity per ray (for camera rendering)."""
-    t = _ray_scene_range(origins, dirs, scene)
+    """Hit distance + a textured intensity per ray (for camera rendering).
+    Texture phases depend on the hit object so patches are distinctive —
+    a globally periodic texture would defeat ratio-test matching the way a
+    blank wall defeats real VO."""
+    t, oid = _ray_scene_range(origins, dirs, scene, with_ids=True)
     hit = np.isfinite(t)
     tt = np.where(hit, t, 0.0)
     p = origins + dirs * tt[:, None]
-    # procedural texture so images have trackable gradients everywhere
+    ph1 = 2.39996 * oid  # decorrelate per object
+    ph2 = 1.17 * oid
     tex = (
-        0.55
-        + 0.18 * np.sin(2.1 * p[:, 0]) * np.cos(1.7 * p[:, 1])
-        + 0.12 * np.sin(5.3 * p[:, 2] + 1.3 * p[:, 0])
-        + 0.08 * np.sin(11.0 * p[:, 1])
+        0.52
+        + 0.16 * np.sin(2.1 * p[:, 0] + ph1) * np.cos(1.7 * p[:, 1] - ph2)
+        + 0.12 * np.sin(5.3 * p[:, 2] + 1.3 * p[:, 0] + 0.7 * ph2)
+        + 0.10 * np.sin(9.1 * p[:, 1] + 3.1 * p[:, 2] + ph1)
+        + 0.06 * np.sin(17.0 * p[:, 0] - 13.0 * p[:, 1] + 2.0 * ph2)
+        + 0.05 * np.sign(np.sin(4.9 * p[:, 0] + ph1) * np.sin(4.3 * p[:, 2] - ph2))
     )
     shade = np.clip(1.0 - tt / (scene.max_range * 1.2), 0.2, 1.0)
     img = np.where(hit, np.clip(tex * shade, 0.0, 1.0), 0.08)

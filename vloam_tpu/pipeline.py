@@ -1,0 +1,149 @@
+"""Top-level VLOAM pipeline: VO -> fusion -> LO -> MO per frame.
+
+Mirrors the reference per-frame callback (vloam_main_node.cpp:125-180):
+
+  [S1] VO.processImage        (detect/describe/match or LK flow)
+  [S2] static transforms      (FrameChain from calib, once)
+  [S3] VO.processPointCloud   (depth grid)
+  [S4] VO.solveNlsAll         (seeded from last LO f2f unless reset)
+       vloam_tf->VO2VeloAndBase
+  [S5] LOAM scanRegistrationIO / laserOdometryIO / laserMappingIO
+  [S6] save trajectories      (KITTI cam0-start-frame format)
+
+Modes (reference §3.6): combined (detach_VO_LO=false) seeds LO from VO;
+detached runs them independently. Lidar-only mode skips VO entirely.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation as R
+
+from .config import PipelineConfig
+from .data.synthetic import pad_scan
+from .fusion.frame_chain import FrameChain, write_kitti_pose_line
+from .lidar.mapping import LaserMapping
+from .lidar.odometry import LaserOdometry
+from .lidar.scan_registration import register_scan
+from .runtime.profiling import TicToc, Watchdog
+from .vision.vo import VisualOdometry
+
+
+class VloamPipeline:
+    def __init__(self, cfg: PipelineConfig, calib):
+        """calib: data.kitti.Calib (or compatible namespace)."""
+        self.cfg = cfg
+        self.calib = calib
+        self.chain = FrameChain(np.asarray(calib.imu_T_velo, np.float64),
+                                np.asarray(calib.imu_T_cam0, np.float64))
+        self.vo = VisualOdometry(cfg.vo, calib.K, calib.P_velo_to_img)
+        self.lo = LaserOdometry(cfg.lo)
+        self.mo = LaserMapping(cfg.mapping)
+        self.count = -1
+        self.watchdog = Watchdog(budget_ms=100.0, verbose=cfg.verbose_level > 0)
+        self.timings: dict[str, float] = {}
+
+    def step(self, points: np.ndarray, image: np.ndarray | None = None) -> dict:
+        """Process one synchronized frame. points: [N, 3] velodyne xyz."""
+        self.count += 1
+        cfg = self.cfg
+        t_frame = TicToc()
+        out: dict = {"frame": self.count}
+
+        padded, n = pad_scan(points, cfg.lidar.max_points)
+        pts_dev = jnp.asarray(padded)
+
+        # ---- visual odometry (S1, S3, S4) ----
+        if image is not None:
+            t = TicToc()
+            self.vo.reset()
+            self.vo.process_image(image)
+            out["t_image_ms"] = t.toc_ms()
+            t = TicToc()
+            self.vo.process_point_cloud(padded, np.arange(len(padded)) < n)
+            out["t_depth_ms"] = t.toc_ms()
+            t = TicToc()
+            if self.count > 0:
+                if cfg.vo.reset_VO_to_identity:
+                    angles, tr = self.vo.solve()
+                else:
+                    pa, pt = self.chain.vo_prior()
+                    angles, tr = self.vo.solve(pa, pt)
+                cam_T = np.eye(4)
+                cam_T[:3, :3] = R.from_rotvec(angles).as_matrix()
+                cam_T[:3, 3] = tr
+                self.chain.vo_update(cam_T)
+            out["t_vo_solve_ms"] = t.toc_ms()
+
+        # ---- scan registration (S5a) ----
+        t = TicToc()
+        feats = register_scan(pts_dev, jnp.int32(n), cfg.lidar, cfg.scanreg)
+        out["t_scanreg_ms"] = t.toc_ms()
+
+        # ---- laser odometry (S5b) ----
+        t = TicToc()
+        prior_q = prior_t = None
+        if image is not None and not cfg.detach_VO_LO and self.count > 0:
+            prior_q, prior_t = self.chain.lo_prior()
+        lo_out = self.lo.step(feats, prior_q, prior_t)
+        self.chain.lo_update(lo_out["q_f2f"], lo_out["t_f2f"],
+                             lo_out["q_w"], lo_out["t_w"])
+        out["t_lo_ms"] = t.toc_ms()
+
+        # ---- mapping (S5c) ----
+        t = TicToc()
+        mo_out = self.mo.step(feats.less_sharp, feats.less_flat,
+                              lo_out["q_w"], lo_out["t_w"],
+                              skip_frame=lo_out["skip_frame"])
+        self.chain.mo_update(mo_out["q_w"], mo_out["t_w"])
+        out["t_mo_ms"] = t.toc_ms()
+
+        out["t_frame_ms"] = t_frame.toc_ms()
+        self.watchdog.check(out["t_frame_ms"])
+        out.update(
+            vo_pose=self.chain.world_VOT_base_last.copy(),
+            lo_pose=self.chain.world_LOT_base_last.copy(),
+            mo_pose=self.chain.world_MOT_base_last.copy(),
+        )
+        return out
+
+    def export_poses(self, which: str) -> np.ndarray:
+        return self.chain.to_cam0_start(which, self.count)
+
+
+def run_sequence(cfg: PipelineConfig, calib, frames, out_dir: str | None = None,
+                 save_traj: bool | None = None, progress=None) -> dict:
+    """Drive a full sequence (the execute()/rosbag-play equivalent,
+    vloam_main_node.cpp:182-222). `frames` yields dicts with 'points' and
+    optional 'image'. Returns trajectories + timing stats."""
+    pipe = VloamPipeline(cfg, calib)
+    save = cfg.save_traj if save_traj is None else save_traj
+    files = {}
+    if out_dir is not None and save:
+        Path(out_dir).mkdir(parents=True, exist_ok=True)
+        suffix = str(int(cfg.detach_VO_LO))  # reference suffix convention
+        for which in ("VO", "LO", "MO"):
+            files[which] = open(Path(out_dir) / f"{which}{suffix}.txt", "w")
+    trajs = {"VO": [], "LO": [], "MO": []}
+    stats = []
+    try:
+        for k, frame in enumerate(frames):
+            info = pipe.step(frame["points"], frame.get("image"))
+            stats.append({k2: v for k2, v in info.items() if k2.startswith("t_")})
+            for which in ("VO", "LO", "MO"):
+                T34 = pipe.export_poses(which)
+                trajs[which].append(np.asarray(T34))
+                if which in files:
+                    write_kitti_pose_line(files[which], T34)
+            if progress is not None:
+                progress(k, info)
+    finally:
+        for f in files.values():
+            f.close()
+    out = {k: np.stack(v) for k, v in trajs.items() if v}
+    out["timings"] = stats
+    return out

@@ -67,7 +67,7 @@ def lk_flow(
     pyr0 = build_pyramid(img0, levels)
     pyr1 = build_pyramid(img1, levels)
 
-    def track_level(p0_lvl, p1_lvl, xy_level0, guess, scale):
+    def track_level(p0_lvl, p1_lvl, xy_level0, guess, scale, check_bounds):
         """xy_level0: keypoint in level-0 coords; guess: current flow estimate
         in level-0 coords; returns refined guess + validity."""
         kp = xy_level0 / scale
@@ -99,8 +99,10 @@ def lk_flow(
             h, w = p1_lvl.shape
             x1 = kp_i[0] + g[0] / scale
             y1 = kp_i[1] + g[1] / scale
+            # Bounds only matter at the finest level (coarse levels clamp);
+            # rejecting at every level would discard most of a short image.
             inside = (x1 > r) & (x1 < w - r - 1) & (y1 > r) & (y1 < h - r - 1)
-            return g, ok & inside
+            return g, ok & (inside | jnp.logical_not(check_bounds))
 
         return jax.vmap(one)(kp, guess)
 
@@ -108,6 +110,7 @@ def lk_flow(
     status = jnp.ones(xy0.shape[0], bool)
     for lvl in range(levels - 1, -1, -1):
         scale = float(2**lvl)
-        guess, ok = track_level(pyr0[lvl], pyr1[lvl], xy0, guess, scale)
+        guess, ok = track_level(pyr0[lvl], pyr1[lvl], xy0, guess, scale,
+                                jnp.bool_(lvl == 0))
         status = status & ok
     return xy0 + guess, status
