@@ -1,8 +1,10 @@
-"""Benchmark: full LOAM pipeline throughput on one chip.
+"""Benchmark: fused device-resident LOAM pipeline throughput on one chip.
 
-Runs scan registration + frame-to-frame odometry + scan-to-map refinement on
-KITTI-shaped synthetic HDL-64 frames (~115k points) and reports steady-state
-frames/sec. Baseline: the reference C++ stack budgets 100 ms/frame for the
+Runs the single-jit scanreg + frame-to-frame odometry + scan-to-map step
+(vloam_tpu.lidar.loam_step) over KITTI-shaped synthetic HDL-64 frames
+(~110k points each), chunked through lax.scan with all recurrent state
+(feature clouds, cube map, poses) device-resident; poses are downloaded once
+at the end. Baseline: the reference C++ stack budgets 100 ms/frame for the
 LOAM path (lidar_odometry_mapping.cpp:150-153) and was evaluated at 0.33x
 real time, i.e. ~10 frames/sec — vs_baseline is our fps / 10.
 
@@ -19,11 +21,12 @@ def main():
 
     from vloam_tpu.config import kitti_hdl64
     from vloam_tpu.data import synthetic
-    from vloam_tpu.pipeline import VloamPipeline
+    from vloam_tpu.lidar.loam_step import LoamEngine, unpack_outputs
 
     cfg = kitti_hdl64()
     scene = synthetic.urban_scene(0, extent=80.0)
-    n_warm, n_meas = 3, 12
+    chunk = 8
+    n_warm, n_meas = chunk, 4 * chunk
     poses = synthetic.drive_trajectory(n_warm + n_meas, speed=1.1,
                                       yaw_rate=0.01)
     frames = [
@@ -33,26 +36,25 @@ def main():
     ]
     sizes = [len(f) for f in frames]
 
-    class _Calib:
-        K = np.eye(3)
-        P_rect0 = np.hstack([np.eye(3), np.zeros((3, 1))])
-        P_velo_to_img = np.hstack([np.eye(3), np.zeros((3, 1))])
-        imu_T_velo = np.eye(4)
-        imu_T_cam0 = np.eye(4)
-
-    pipe = VloamPipeline(cfg, _Calib())
-    # warmup (compile)
+    eng = LoamEngine(cfg, chunk=chunk)
+    # warmup (compile + first chunk)
     for k in range(n_warm):
-        pipe.step(frames[k])
+        eng.push(frames[k])
+    import jax
+
+    jax.block_until_ready(eng.state)
     t0 = time.perf_counter()
     for k in range(n_warm, n_warm + n_meas):
-        pipe.step(frames[k])
+        eng.push(frames[k])
+    jax.block_until_ready(eng.state)
     dt = time.perf_counter() - t0
+    outs = unpack_outputs(eng.finish())
+    assert np.isfinite(outs["t_w_mo"]).all()
     fps = n_meas / dt
     print(json.dumps({
         "metric": "loam_pipeline_frames_per_sec",
         "value": round(fps, 3),
-        "unit": "frames/s (scanreg+LO+MO, ~%dk pts/frame)" % (
+        "unit": "frames/s (fused scanreg+LO+MO, ~%dk pts/frame)" % (
             int(np.mean(sizes)) // 1000),
         "vs_baseline": round(fps / 10.0, 3),
     }))
