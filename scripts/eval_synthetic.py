@@ -1,0 +1,110 @@
+"""Long-drive evaluation on the synthetic world (the data-free stand-in for
+the KITTI parity runs): drives N frames through the fused engines in both
+reference modes, reports KITTI-style metrics + throughput, writes golden
+trajectories for regression, and updates RESULTS.md."""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+from vloam_tpu.config import kitti_hdl64
+from vloam_tpu.data import synthetic
+from vloam_tpu.eval.kitti_metrics import kitti_metrics
+from vloam_tpu.pipeline import run_sequence_fused
+
+
+def build_frames(n_frames, with_cam, cfg):
+    scene = synthetic.urban_scene(0, extent=140.0, n_boxes=40, n_poles=60)
+    K, P_rect0, cam_T_velo, velo_T_cam = synthetic.default_cam_calib(
+        cfg.vo.img_width, cfg.vo.img_height)
+
+    class C:
+        pass
+
+    calib = C()
+    calib.K = K
+    calib.P_rect0 = P_rect0
+    calib.P_velo_to_img = P_rect0 @ np.linalg.inv(velo_T_cam)
+    calib.imu_T_velo = np.eye(4)
+    calib.imu_T_cam0 = velo_T_cam
+    poses = synthetic.drive_trajectory(n_frames, speed=1.2, yaw_rate=0.008)
+    frames = []
+    t0 = time.time()
+    for k, T in enumerate(poses):
+        f = {"points": synthetic.simulate_scan(scene, T, n_scans=64,
+                                               n_azimuth=1800, noise=0.01,
+                                               seed=k)}
+        if with_cam:
+            f["image"] = synthetic.render_camera(scene, T @ velo_T_cam, K,
+                                                 cfg.vo.img_width,
+                                                 cfg.vo.img_height)
+        frames.append(f)
+    print(f"frame gen: {time.time()-t0:.1f}s")
+    T0 = poses[0] @ velo_T_cam
+    gt = np.stack([(np.linalg.inv(T0) @ (T @ velo_T_cam))[:3, :]
+                   for T in poses])
+    return calib, frames, gt
+
+
+def main(n_frames=100):
+    results = {}
+    golden_dir = Path(__file__).resolve().parents[1] / "tests" / "golden"
+    golden_dir.mkdir(exist_ok=True)
+
+    # ---- lidar-only (LOAM path) ----
+    cfg = kitti_hdl64()
+    calib, frames, gt = build_frames(n_frames, with_cam=False, cfg=cfg)
+    t0 = time.time()
+    res = run_sequence_fused(cfg, calib, iter(frames), lidar_only=True,
+                             chunk=10)
+    wall = time.time() - t0
+    for which in ("LO", "MO"):
+        m = kitti_metrics(gt, res[which], step=1)
+        results[f"lidar_only/{which}"] = m
+        print(which, json.dumps(m))
+    print(f"lidar-only: {res['fps']:.1f} fps (wall {wall:.1f}s)")
+    results["lidar_only/fps"] = res["fps"]
+    np.save(golden_dir / "synthetic_lidar_MO.npy", res["MO"])
+    np.save(golden_dir / "synthetic_gt.npy", gt)
+
+    # ---- full VLOAM combined ----
+    cfg_c = kitti_hdl64().replace(detach_VO_LO=False)
+    calib, frames, gt = build_frames(n_frames, with_cam=True, cfg=cfg_c)
+    t0 = time.time()
+    res_c = run_sequence_fused(cfg_c, calib, iter(frames), chunk=10)
+    wall = time.time() - t0
+    for which in ("VO", "LO", "MO"):
+        m = kitti_metrics(gt, res_c[which], step=1)
+        results[f"combined/{which}"] = m
+        print("combined", which, json.dumps(m))
+    print(f"combined: {res_c['fps']:.1f} fps (wall {wall:.1f}s)")
+    results["combined/fps"] = res_c["fps"]
+
+    out = Path(__file__).resolve().parents[1] / "RESULTS.md"
+    with open(out, "w") as f:
+        f.write("# Synthetic-drive evaluation (no KITTI data in this env)\n\n")
+        f.write(f"{n_frames} frames, HDL-64 profile (~110k pts/frame), "
+                "synthetic urban world with exact ground truth; metrics are "
+                "KITTI-devkit style (translational %, rotational deg/m over "
+                "100-800 m subsequences) plus ATE.\n\n")
+        f.write("| run | t_rel % | r deg/m | ATE rmse m | fps |\n")
+        f.write("|-----|---------|---------|------------|-----|\n")
+        for key, m in results.items():
+            if key.endswith("fps"):
+                continue
+            fps = results.get(key.split("/")[0] + "/fps", 0)
+            f.write(f"| {key} | {m['t_rel_percent']:.3f} | "
+                    f"{m['r_deg_per_m']:.4f} | {m['ate_rmse_m']:.3f} | "
+                    f"{fps:.0f} |\n")
+    print("wrote", out)
+    json.dump(results, open(golden_dir / "synthetic_metrics.json", "w"),
+              indent=1)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 100)

@@ -36,6 +36,10 @@ def _add_run(sub):
     p.add_argument("--end-frame", type=int, default=-1)
     p.add_argument("--mode", choices=["combined", "detached", "lidar-only"],
                    default="detached")
+    p.add_argument("--engine", choices=["fused", "host"], default="fused",
+                   help="fused: single-jit device-resident chunks (fast); "
+                        "host: per-stage host orchestration (debuggable)")
+    p.add_argument("--chunk", type=int, default=8)
     p.add_argument("--out", default=None, help="output directory for txt files")
     p.add_argument("--profile", default=None, help="write a jax trace here")
     p.add_argument("--verbose", type=int, default=1)
@@ -142,14 +146,23 @@ def main(argv=None):
         ctx = device_trace(args.profile)
         ctx.__enter__()
     try:
-        result = run_sequence(cfg, calib, frame_iter, out_dir=args.out,
-                              progress=progress)
+        if args.engine == "fused":
+            result = run_sequence_fused(cfg, calib, frame_iter,
+                                        out_dir=args.out, chunk=args.chunk,
+                                        lidar_only=(args.mode == "lidar-only"),
+                                        verbose=args.verbose)
+        else:
+            result = run_sequence(cfg, calib, frame_iter, out_dir=args.out,
+                                  progress=progress)
     finally:
         if ctx is not None:
             ctx.__exit__(None, None, None)
 
-    print("timing summary (ms):",
-          json.dumps(summarize_timings(result["timings"]), indent=2))
+    if "timings" in result:
+        print("timing summary (ms):",
+              json.dumps(summarize_timings(result["timings"]), indent=2))
+    if "fps" in result:
+        print(f"throughput: {result['fps']:.1f} frames/s")
     if gt_poses is not None:
         from .eval.kitti_metrics import kitti_metrics
 

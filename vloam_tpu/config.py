@@ -102,6 +102,8 @@ class VisualOdometryConfig:
 
     img_width: int = 1242
     img_height: int = 375
+    detector: str = "shi_tomasi"  # image_util DetectorType: shi_tomasi | fast
+    fast_threshold: float = 100.0 / 255.0  # image_util.cpp:39 (uint8 scale)
     max_keypoints: int = 1024  # image_util.cpp:20
     shi_tomasi_block: int = 5  # image_util.cpp:15
     shi_tomasi_quality: float = 0.03  # image_util.cpp:22

@@ -48,13 +48,32 @@ def _retract(x, delta):
     return _pack(qn, t + delta[3:])
 
 
+def _deskew_fraction(cloud: FeatureCloud, cfg: LaserOdometryConfig):
+    """Interpolation fraction s per point (reference TransformToStart,
+    laser_odometry.cpp:149-158): rel_time/scan_period when DISTORTION,
+    else 1."""
+    if cfg.distortion:
+        return jnp.clip(cloud.rel_time, 0.0, 1.0)[:, None]
+    return None  # s == 1: full transform, skip the slerp
+
+
+def _transform_to_start(q, t, pts, s):
+    """Apply slerp(I, q, s), s*t per point (lidarFactor.hpp:29-32);
+    s=None means s==1 (DISTORTION=false fast path)."""
+    if s is None:
+        return so3.quat_rotate(q, pts) + t
+    w = so3.axis_angle_from_quat(q)
+    q_s = so3.quat_from_axis_angle(s * w)
+    return so3.quat_rotate(q_s, pts) + s * t
+
+
 def associate_corners(
     sharp: FeatureCloud, corner_last: FeatureCloud, x, cfg: LaserOdometryConfig
 ):
     """Edge correspondences: nearest last-frame corner + nearest corner on a
     different nearby ring (reference :266-350)."""
     q, t = _unpack(x)
-    p_hat = so3.quat_rotate(q, sharp.xyz) + t
+    p_hat = _transform_to_start(q, t, sharp.xyz, _deskew_fraction(sharp, cfg))
     res = nearest_and_ring_constrained(
         p_hat, corner_last.xyz, corner_last.ring, corner_last.mask,
         cfg.nearby_scan, mode="corner",
@@ -74,7 +93,7 @@ def associate_surfs(
     """Plane correspondences: nearest j + same-ring l + other-ring m
     (reference :353-444)."""
     q, t = _unpack(x)
-    p_hat = so3.quat_rotate(q, flat.xyz) + t
+    p_hat = _transform_to_start(q, t, flat.xyz, _deskew_fraction(flat, cfg))
     res = nearest_and_ring_constrained(
         p_hat, surf_last.xyz, surf_last.ring, surf_last.mask,
         cfg.nearby_scan, mode="surf",
@@ -115,6 +134,8 @@ def solve_lo(
         n_s = jnp.sum(v_s.astype(jnp.int32))
         cp_c = sharp.xyz
         cp_s = flat.xyz
+        s_c = _deskew_fraction(sharp, cfg)
+        s_s = _deskew_fraction(flat, cfg)
 
         def make_families(xx):
             qq, tt = _unpack(xx)
@@ -122,14 +143,14 @@ def solve_lo(
             def edge_fn(delta):
                 qd = so3.quat_multiply(qq, so3.quat_from_axis_angle(delta[:3]))
                 td = tt + delta[3:]
-                lp = so3.quat_rotate(qd, cp_c) + td
+                lp = _transform_to_start(qd, td, cp_c, s_c)
                 nu = jnp.cross(lp - a, lp - b)
                 return nu / jnp.maximum(de, _EPS)[:, None]
 
             def plane_fn(delta):
                 qd = so3.quat_multiply(qq, so3.quat_from_axis_angle(delta[:3]))
                 td = tt + delta[3:]
-                lp = so3.quat_rotate(qd, cp_s) + td
+                lp = _transform_to_start(qd, td, cp_s, s_s)
                 return jnp.sum((lp - pj) * n_hat, axis=-1, keepdims=True)
 
             return [

@@ -115,6 +115,59 @@ class VloamPipeline:
         return self.chain.to_cam0_start(which, self.count)
 
 
+def run_sequence_fused(cfg: PipelineConfig, calib, frames,
+                       out_dir: str | None = None, chunk: int = 8,
+                       lidar_only: bool = False, verbose: int = 0) -> dict:
+    """Drive a sequence through the fused device-resident engines (one jit
+    call per chunk of frames, one download per sequence). Returns the
+    exported trajectories (+ fps)."""
+    t0 = time.perf_counter()
+    n_frames = 0
+    if lidar_only:
+        from .lidar.loam_step import LoamEngine, unpack_outputs
+
+        eng = LoamEngine(cfg, chunk=chunk)
+        for frame in frames:
+            eng.push(frame["points"])
+            n_frames += 1
+        raw = unpack_outputs(eng.finish())
+        # export through the frame chain (f64)
+        chain = FrameChain(np.asarray(calib.imu_T_velo, np.float64),
+                           np.asarray(calib.imu_T_cam0, np.float64))
+        trajs = {"LO": [], "MO": []}
+        for k in range(n_frames):
+            chain.lo_update(raw["q_f2f"][k], raw["t_f2f"][k],
+                            raw["q_w_lo"][k], raw["t_w_lo"][k])
+            chain.mo_update(raw["q_w_mo"][k], raw["t_w_mo"][k])
+            for which in trajs:
+                trajs[which].append(chain.to_cam0_start(which, k))
+        result = {w: np.stack(v) for w, v in trajs.items()}
+        result["raw"] = raw
+    else:
+        from .vloam_step import VloamEngine, unpack_vloam_outputs
+
+        eng = VloamEngine(cfg, calib, chunk=chunk)
+        for frame in frames:
+            eng.push(frame["points"], frame["image"])
+            n_frames += 1
+        raw = unpack_vloam_outputs(eng.finish(), calib)
+        result = {w: raw[f"traj_{w}"] for w in ("VO", "LO", "MO")}
+        result["raw"] = raw
+    dt = time.perf_counter() - t0
+    result["fps"] = n_frames / max(dt, 1e-9)
+
+    if out_dir is not None and cfg.save_traj:
+        Path(out_dir).mkdir(parents=True, exist_ok=True)
+        suffix = str(int(cfg.detach_VO_LO))
+        for which in ("VO", "LO", "MO"):
+            if which not in result:
+                continue
+            with open(Path(out_dir) / f"{which}{suffix}.txt", "w") as f:
+                for T34 in result[which]:
+                    write_kitti_pose_line(f, T34)
+    return result
+
+
 def run_sequence(cfg: PipelineConfig, calib, frames, out_dir: str | None = None,
                  save_traj: bool | None = None, progress=None) -> dict:
     """Drive a full sequence (the execute()/rosbag-play equivalent,

@@ -54,11 +54,53 @@ def min_eig_response(img: jnp.ndarray, block: int) -> jnp.ndarray:
     return tr - det_term
 
 
+# FAST-16 Bresenham circle offsets (dy, dx)
+_FAST_CIRCLE = (
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+)
+
+
+def fast_response(img: jnp.ndarray, threshold: float, arc: int = 9) -> jnp.ndarray:
+    """FAST corner response (image_util.cpp:37-40 alternative detector):
+    a pixel is a corner when >= `arc` contiguous circle pixels are all
+    brighter or all darker by `threshold`; the response is the summed
+    absolute excess (cv::FAST score flavor)."""
+    pads = jnp.pad(img, 3, mode="edge")
+    h, w = img.shape
+    ring = jnp.stack([
+        jax.lax.dynamic_slice(pads, (3 + dy, 3 + dx), (h, w))
+        for dy, dx in _FAST_CIRCLE
+    ])  # [16, H, W]
+    brighter = ring > img[None] + threshold
+    darker = ring < img[None] - threshold
+
+    def max_run(mask):
+        # longest circular run of True >= arc: AND of `arc` rolled copies
+        acc = jnp.ones_like(mask[0], bool)[None]
+        out = jnp.zeros(img.shape, bool)
+        doubled = jnp.concatenate([mask, mask], axis=0)
+        for s in range(16):
+            window = doubled[s : s + arc]
+            out = out | jnp.all(window, axis=0)
+        return out
+
+    is_corner = max_run(brighter) | max_run(darker)
+    excess = jnp.sum(
+        jnp.where(brighter | darker, jnp.abs(ring - img[None]) - threshold, 0.0),
+        axis=0,
+    )
+    return jnp.where(is_corner, excess, 0.0)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def detect_keypoints(img: jnp.ndarray, cfg: VisualOdometryConfig):
     """Returns (xy [K, 2] float32 pixel coords, score [K], mask [K]).
     K = cfg.max_keypoints."""
-    resp = min_eig_response(img, cfg.shi_tomasi_block)
+    if cfg.detector == "fast":
+        resp = fast_response(img, cfg.fast_threshold)
+    else:
+        resp = min_eig_response(img, cfg.shi_tomasi_block)
     h, w = resp.shape
     # exclude borders (gradient + descriptor support)
     m = cfg.descriptor_patch

@@ -1,0 +1,264 @@
+"""Fused device-resident FULL VLOAM step: VO + LO + MO in one jit call.
+
+Extends lidar.loam_step with the visual-odometry front-end so the complete
+reference callback (vloam_main_node.cpp:125-180) runs as a single device
+program per frame, scanned over chunks:
+
+  detect/describe (S1) -> depth grid (S3) -> VO solve seeded from last LO
+  f2f (S4, visual_odometry.cpp:269-281) -> scan registration + LO seeded
+  from VO when combined (laser_odometry.cpp:223-236) -> mapping (S5).
+
+The VO<->LO coupling transforms (vloam_tf.cpp:59-75, laser_odometry.cpp:
+563-570) are carried on device as quaternion Pose algebra; only packed pose
+rows leave the device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import PipelineConfig
+from .geometry import so3
+from .lidar.loam_step import LoamState, loam_frame_step
+from .vision import features
+from .vision.depth_map import DepthGrid, build_depth_grid, grid_shape
+from .vision.optical_flow import lk_flow
+from .vision.vo import solve_vo
+
+VLOAM_OUT_DIM = 33
+
+
+class CamExtrinsics(NamedTuple):
+    """Constant extrinsic chain as device quaternion poses."""
+
+    q_base_cam: jnp.ndarray  # base_T_cam0
+    t_base_cam: jnp.ndarray
+    q_velo_cam: jnp.ndarray  # velo_T_cam0
+    t_velo_cam: jnp.ndarray
+    K: jnp.ndarray  # [3, 3]
+    P_velo_to_img: jnp.ndarray  # [3, 4]
+
+    @staticmethod
+    def from_calib(calib) -> "CamExtrinsics":
+        from scipy.spatial.transform import Rotation as R
+
+        base_T_cam = np.asarray(calib.imu_T_cam0, np.float64)
+        imu_T_velo = np.asarray(calib.imu_T_velo, np.float64)
+        velo_T_cam = np.linalg.inv(imu_T_velo) @ base_T_cam
+        return CamExtrinsics(
+            q_base_cam=jnp.asarray(R.from_matrix(base_T_cam[:3, :3]).as_quat(),
+                                   jnp.float32),
+            t_base_cam=jnp.asarray(base_T_cam[:3, 3], jnp.float32),
+            q_velo_cam=jnp.asarray(R.from_matrix(velo_T_cam[:3, :3]).as_quat(),
+                                   jnp.float32),
+            t_velo_cam=jnp.asarray(velo_T_cam[:3, 3], jnp.float32),
+            K=jnp.asarray(calib.K, jnp.float32),
+            P_velo_to_img=jnp.asarray(calib.P_velo_to_img, jnp.float32),
+        )
+
+
+def _compose(q1, t1, q2, t2):
+    return (so3.quat_normalize(so3.quat_multiply(q1, q2)),
+            so3.quat_rotate(q1, t2) + t1)
+
+
+def _invert(q, t):
+    qi = so3.quat_conjugate(q)
+    return qi, -so3.quat_rotate(qi, t)
+
+
+def _conjugate(q_a, t_a, q_x, t_x):
+    """a^-1 * x * a."""
+    qa_i, ta_i = _invert(q_a, t_a)
+    q1, t1 = _compose(qa_i, ta_i, q_x, t_x)
+    return _compose(q1, t1, q_a, t_a)
+
+
+class VloamState(NamedTuple):
+    loam: LoamState
+    prev_kp: jnp.ndarray  # [K, 2]
+    prev_kp_mask: jnp.ndarray  # [K]
+    prev_desc: jnp.ndarray  # [K, P*P]
+    prev_img: jnp.ndarray  # [H, W] (LK mode)
+    prev_grid: DepthGrid
+
+    @staticmethod
+    def create(cfg: PipelineConfig) -> "VloamState":
+        k = cfg.vo.max_keypoints
+        p = cfg.vo.descriptor_patch
+        gw, gh = grid_shape(cfg.vo)
+        return VloamState(
+            loam=LoamState.create(cfg),
+            prev_kp=jnp.zeros((k, 2), jnp.float32),
+            prev_kp_mask=jnp.zeros((k,), bool),
+            prev_desc=jnp.zeros((k, p * p), jnp.float32),
+            prev_img=jnp.zeros((cfg.vo.img_height, cfg.vo.img_width),
+                               jnp.float32),
+            prev_grid=DepthGrid(
+                u=jnp.zeros((gw, gh), jnp.float32),
+                v=jnp.zeros((gw, gh), jnp.float32),
+                z=jnp.zeros((gw, gh), jnp.float32),
+                cnt=jnp.zeros((gw, gh), jnp.int32),
+            ),
+        )
+
+
+def vloam_frame_step(
+    state: VloamState,
+    scan: jnp.ndarray,  # [max_points, 3]
+    n_pts: jnp.ndarray,
+    image_u8: jnp.ndarray,  # [H, W] uint8
+    ext: CamExtrinsics,
+    cfg: PipelineConfig,
+):
+    """Returns (new_state, out [VLOAM_OUT_DIM]):
+    out = [loam_out(24), vo_q(4), vo_t(3), n32, n22]."""
+    img = image_u8.astype(jnp.float32) / 255.0
+    initialized = state.loam.frame_idx > 0
+
+    # S1: features
+    xy, score, kp_mask = features.detect_keypoints(img, cfg.vo)
+    desc = features.describe_keypoints(img, xy, cfg.vo)
+
+    # S3: depth grid of the current frame
+    in_mask = jnp.arange(scan.shape[0]) < n_pts
+    grid = build_depth_grid(scan, in_mask, ext.P_velo_to_img, cfg.vo)
+
+    # S4: VO solve (prev -> curr), seeded from last LO f2f
+    # cam0_curr_LOT_cam0_prev = base_T_cam0^-1 * (T_lo_f2f)^-1 * base_T_cam0
+    q_lo_i, t_lo_i = _invert(state.loam.q_f2f, state.loam.t_f2f)
+    q_seed, t_seed = _conjugate(ext.q_base_cam, ext.t_base_cam, q_lo_i, t_lo_i)
+    a_seed = so3.axis_angle_from_quat(q_seed)
+    if cfg.vo.reset_VO_to_identity:
+        a_seed = jnp.zeros(3, jnp.float32)
+        t_seed = jnp.zeros(3, jnp.float32)
+
+    if cfg.vo.optical_flow_match:
+        xy1, status = lk_flow(state.prev_img, img, state.prev_kp, cfg.vo)
+        prev_uv, curr_uv = state.prev_kp, xy1
+        valid = state.prev_kp_mask & status
+    else:
+        idx1, ok = features.match_descriptors(
+            state.prev_desc, state.prev_kp_mask, desc, kp_mask,
+            cfg.vo.match_ratio)
+        prev_uv = state.prev_kp
+        curr_uv = xy[idx1]
+        valid = ok
+    valid = valid & initialized
+
+    angles, t_vo, n32, n22 = solve_vo(
+        prev_uv, curr_uv, valid, state.prev_grid, ext.K,
+        a_seed.astype(jnp.float32), t_seed.astype(jnp.float32), cfg.vo)
+    q_vo = so3.quat_from_axis_angle(angles)
+    vo_ok = initialized & jnp.all(jnp.isfinite(angles)) & jnp.all(jnp.isfinite(t_vo))
+    q_vo = jnp.where(vo_ok, q_vo, jnp.asarray([0, 0, 0, 1], jnp.float32))
+    t_vo = jnp.where(vo_ok, t_vo, jnp.zeros(3, jnp.float32))
+
+    # VO -> LO prior: velo_last_VOT_velo_curr =
+    #   velo_T_cam0 * (cam0_curr_T_cam0_last)^-1 * velo_T_cam0^-1
+    q_vo_i, t_vo_i = _invert(q_vo, t_vo)
+    qv_i, tv_i = _invert(ext.q_velo_cam, ext.t_velo_cam)
+    q_pr, t_pr = _conjugate(qv_i, tv_i, q_vo_i, t_vo_i)
+    use_prior = jnp.logical_and(jnp.logical_not(cfg.detach_VO_LO),
+                                vo_ok)
+
+    loam_state, loam_out = loam_frame_step(
+        state.loam, scan, n_pts, q_pr, t_pr, use_prior, cfg)
+
+    new_state = VloamState(
+        loam=loam_state,
+        prev_kp=xy,
+        prev_kp_mask=kp_mask,
+        prev_desc=desc,
+        prev_img=img,
+        prev_grid=grid,
+    )
+    out = jnp.concatenate([
+        loam_out, q_vo, t_vo,
+        jnp.asarray([n32, n22], jnp.float32),
+    ])
+    return new_state, out
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def vloam_run_chunk(state, scans, n_pts, images_u8, ext, cfg):
+    def body(st, inp):
+        scan, n, img = inp
+        return vloam_frame_step(st, scan, n, img, ext, cfg)
+
+    return jax.lax.scan(body, state, (scans, n_pts, images_u8))
+
+
+class VloamEngine:
+    """Host wrapper for the fully fused VLOAM pipeline (camera + lidar)."""
+
+    def __init__(self, cfg: PipelineConfig, calib, chunk: int = 4):
+        self.cfg = cfg
+        self.chunk = chunk
+        self.ext = CamExtrinsics.from_calib(calib)
+        self.state = VloamState.create(cfg)
+        self._outs = []
+        self._scans, self._ns, self._imgs = [], [], []
+
+    def push(self, points: np.ndarray, image: np.ndarray):
+        from .data.synthetic import pad_scan
+
+        padded, n = pad_scan(points, self.cfg.lidar.max_points)
+        self._scans.append(padded)
+        self._ns.append(n)
+        if image.dtype != np.uint8:
+            image = np.clip(image * 255.0, 0, 255).astype(np.uint8)
+        self._imgs.append(image)
+        if len(self._scans) >= self.chunk:
+            self._flush()
+
+    def _flush(self):
+        if not self._scans:
+            return
+        scans = jnp.asarray(np.stack(self._scans))
+        ns = jnp.asarray(np.asarray(self._ns, np.int32))
+        imgs = jnp.asarray(np.stack(self._imgs))
+        self._scans, self._ns, self._imgs = [], [], []
+        self.state, outs = vloam_run_chunk(self.state, scans, ns, imgs,
+                                           self.ext, self.cfg)
+        self._outs.append(outs)
+
+    def finish(self) -> np.ndarray:
+        self._flush()
+        if not self._outs:
+            return np.zeros((0, VLOAM_OUT_DIM), np.float32)
+        stacked = jnp.concatenate(self._outs, axis=0).reshape(-1)
+        return np.asarray(stacked).reshape(-1, VLOAM_OUT_DIM)
+
+
+def unpack_vloam_outputs(outs: np.ndarray, calib) -> dict:
+    """Named arrays + the three exported cam0-start-frame trajectories
+    (VO/LO/MO), recomposed in float64 through the FrameChain."""
+    from .fusion.frame_chain import FrameChain, from_qt
+    from .lidar.loam_step import unpack_outputs
+
+    res = unpack_outputs(outs[:, :24])
+    res["q_vo"] = outs[:, 24:28].astype(np.float64)
+    res["t_vo"] = outs[:, 28:31].astype(np.float64)
+    res["n32"] = outs[:, 31].astype(int)
+    res["n22"] = outs[:, 32].astype(int)
+
+    chain = FrameChain(np.asarray(calib.imu_T_velo, np.float64),
+                       np.asarray(calib.imu_T_cam0, np.float64))
+    trajs = {"VO": [], "LO": [], "MO": []}
+    for k in range(len(outs)):
+        if k > 0:
+            chain.vo_update(from_qt(res["q_vo"][k], res["t_vo"][k]))
+        chain.lo_update(res["q_f2f"][k], res["t_f2f"][k],
+                        res["q_w_lo"][k], res["t_w_lo"][k])
+        chain.mo_update(res["q_w_mo"][k], res["t_w_mo"][k])
+        for which in ("VO", "LO", "MO"):
+            trajs[which].append(chain.to_cam0_start(which, k))
+    for which in trajs:
+        res[f"traj_{which}"] = np.stack(trajs[which])
+    return res
