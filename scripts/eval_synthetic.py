@@ -18,8 +18,11 @@ from vloam_tpu.eval.kitti_metrics import kitti_metrics
 from vloam_tpu.pipeline import run_sequence_fused
 
 
+CACHE = Path("/tmp/vloam_synth_cache")
+
+
 def build_frames(n_frames, with_cam, cfg):
-    scene = synthetic.urban_scene(0, extent=140.0, n_boxes=40, n_poles=60)
+    scene = synthetic.urban_scene(0, extent=140.0, n_boxes=24, n_poles=32)
     K, P_rect0, cam_T_velo, velo_T_cam = synthetic.default_cam_calib(
         cfg.vo.img_width, cfg.vo.img_height)
 
@@ -33,18 +36,30 @@ def build_frames(n_frames, with_cam, cfg):
     calib.imu_T_velo = np.eye(4)
     calib.imu_T_cam0 = velo_T_cam
     poses = synthetic.drive_trajectory(n_frames, speed=1.2, yaw_rate=0.008)
+    CACHE.mkdir(exist_ok=True)
     frames = []
     t0 = time.time()
     for k, T in enumerate(poses):
-        f = {"points": synthetic.simulate_scan(scene, T, n_scans=64,
-                                               n_azimuth=1800, noise=0.01,
-                                               seed=k)}
-        if with_cam:
-            f["image"] = synthetic.render_camera(scene, T @ velo_T_cam, K,
-                                                 cfg.vo.img_width,
-                                                 cfg.vo.img_height)
+        tag = f"f{k}_{int(with_cam)}_{cfg.vo.img_width}"
+        cpath = CACHE / f"{tag}.npz"
+        if cpath.exists():
+            data = np.load(cpath)
+            f = {"points": data["points"]}
+            if with_cam:
+                f["image"] = data["image"]
+        else:
+            f = {"points": synthetic.simulate_scan(scene, T, n_scans=64,
+                                                   n_azimuth=1800, noise=0.01,
+                                                   seed=k)}
+            if with_cam:
+                f["image"] = synthetic.render_camera(scene, T @ velo_T_cam, K,
+                                                     cfg.vo.img_width,
+                                                     cfg.vo.img_height)
+            np.savez(cpath, **f)
         frames.append(f)
-    print(f"frame gen: {time.time()-t0:.1f}s")
+        if k % 10 == 0:
+            print(f"frame {k} gen t={time.time()-t0:.0f}s", flush=True)
+    print(f"frame gen: {time.time()-t0:.1f}s", flush=True)
     T0 = poses[0] @ velo_T_cam
     gt = np.stack([(np.linalg.inv(T0) @ (T @ velo_T_cam))[:3, :]
                    for T in poses])
