@@ -91,6 +91,14 @@ class LaserMappingConfig:
     corner_stack_cap: int = 4096
     surf_stack_cap: int = 16384
     knn: int = 5
+    # Hashed fine-grid NN for scan-to-map association (vs tiled brute
+    # force): ~100x less distance arithmetic but measured SLOWER on TPU
+    # (132 vs 307 fps) — scattered gathers lose to dense MXU matmuls at
+    # these sizes. Kept as an option for other backends/shapes.
+    use_hash_grid: bool = False
+    grid_cell: float = 1.0
+    grid_corner_cap: int = 24  # >= cell occupancy at 0.4 m map resolution
+    grid_surf_cap: int = 16  # >= cell occupancy at 0.8 m map resolution
     # Gather window around the center cube (reference ":404-420": 5 x 5 x 3).
     gather_w: int = 5
     gather_h: int = 5

@@ -215,6 +215,87 @@ def loam_run_chunk_dyn(state, scans, n_pts, prior_q, prior_t, use_prior, cfg):
     return jax.lax.scan(body, state, (scans, n_pts, prior_q, prior_t, use_prior))
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def loam_run_chunk_batch(states, scans, n_pts, cfg: PipelineConfig):
+    """Advance B independent sequences x F frames: vmap over sequences
+    inside a scan over frames (the multi-drive batch runner — one chip
+    processes a whole KITTI suite concurrently).
+
+    states: LoamState with leading batch dim B; scans [B, F, N, 3];
+    n_pts [B, F]. Returns (states, outs [B, F, OUT_DIM])."""
+    B = scans.shape[0]
+    pq = jnp.zeros((B, 4), jnp.float32).at[:, 3].set(1.0)
+    pt = jnp.zeros((B, 3), jnp.float32)
+    up = jnp.zeros((B,), bool)
+
+    def frame_body(sts, inp):
+        scan_b, n_b = inp  # [B, N, 3], [B]
+        return jax.vmap(
+            lambda s, sc, nn, qq, tt, uu: loam_frame_step(s, sc, nn, qq, tt,
+                                                          uu, cfg)
+        )(sts, scan_b, n_b, pq, pt, up)
+
+    states, outs = jax.lax.scan(
+        frame_body, states, (scans.swapaxes(0, 1), n_pts.T)
+    )
+    return states, outs.swapaxes(0, 1)
+
+
+def batch_states(cfg: PipelineConfig, batch: int) -> LoamState:
+    """B stacked fresh LoamStates."""
+    one = LoamState.create(cfg)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape).copy(), one
+    )
+
+
+class BatchLoamEngine:
+    """Run B sequences concurrently (SURVEY §7.7 batch runner). Frames are
+    pushed per-stream; all streams must have equal length (pad short ones
+    with repeated last frames and ignore the tail outputs)."""
+
+    def __init__(self, cfg: PipelineConfig, batch: int, chunk: int = 4):
+        self.cfg = cfg
+        self.batch = batch
+        self.chunk = chunk
+        self.states = batch_states(cfg, batch)
+        self._outs = []
+        self._scans = [[] for _ in range(batch)]
+        self._ns = [[] for _ in range(batch)]
+
+    def push(self, stream: int, points: np.ndarray):
+        from ..data.synthetic import pad_scan
+
+        padded, n = pad_scan(points, self.cfg.lidar.max_points)
+        self._scans[stream].append(padded)
+        self._ns[stream].append(n)
+        if all(len(s) >= self.chunk for s in self._scans):
+            self._flush()
+
+    def _flush(self):
+        f = min(len(s) for s in self._scans)
+        if f == 0:
+            return
+        scans = jnp.asarray(np.stack(
+            [np.stack(s[:f]) for s in self._scans]))
+        ns = jnp.asarray(np.stack(
+            [np.asarray(n[:f], np.int32) for n in self._ns]))
+        self._scans = [s[f:] for s in self._scans]
+        self._ns = [n[f:] for n in self._ns]
+        self.states, outs = loam_run_chunk_batch(self.states, scans, ns,
+                                                 self.cfg)
+        self._outs.append(outs)
+
+    def finish(self) -> np.ndarray:
+        """[B, N, OUT_DIM]."""
+        self._flush()
+        if not self._outs:
+            return np.zeros((self.batch, 0, OUT_DIM), np.float32)
+        stacked = jnp.concatenate(self._outs, axis=1)
+        flat = np.asarray(stacked.reshape(-1))
+        return flat.reshape(self.batch, -1, OUT_DIM)
+
+
 def unpack_outputs(outs: np.ndarray) -> dict:
     """Split packed rows into named f64 arrays; recompose the LO world pose
     in float64 from the f2f increments for export-grade precision."""

@@ -107,11 +107,21 @@ def gather_window(cube_map: CubeMap, center_coord: jnp.ndarray, cfg: LaserMappin
     return slots, coords, c_pts, c_mask, s_pts, s_mask
 
 
-def _corner_terms(stack_xyz, stack_mask, map_pts, map_mask, x, cfg):
+def _map_knn(p_w, map_pts, map_mask, grid, cfg):
+    """5-NN in the gathered map: hashed-grid probe when enabled (exact
+    within the 1 m acceptance radius), tiled brute force otherwise."""
+    if grid is not None:
+        from .hashgrid import hash_grid_knn
+
+        return hash_grid_knn(grid, p_w, k=cfg.knn)
+    return masked_knn(p_w, map_pts, map_mask, k=cfg.knn)
+
+
+def _corner_terms(stack_xyz, stack_mask, map_pts, map_mask, x, cfg, grid=None):
     """Line features from 5-NN covariance (reference :472-517)."""
     q, t = x[:4], x[4:]
     p_w = so3.quat_rotate(q, stack_xyz) + t
-    d, idx = masked_knn(p_w, map_pts, map_mask, k=cfg.knn)
+    d, idx = _map_knn(p_w, map_pts, map_mask, grid, cfg)
     ok = stack_mask & (d[:, cfg.knn - 1] < cfg.neighbor_radius_sq)
     near = map_pts[idx]  # [B, 5, 3]
     center = jnp.mean(near, axis=1)
@@ -127,11 +137,11 @@ def _corner_terms(stack_xyz, stack_mask, map_pts, map_mask, x, cfg):
     return a, b, de, valid
 
 
-def _surf_terms(stack_xyz, stack_mask, map_pts, map_mask, x, cfg):
+def _surf_terms(stack_xyz, stack_mask, map_pts, map_mask, x, cfg, grid=None):
     """Plane features from 5-NN LS fit A n = -1 (reference :538-581)."""
     q, t = x[:4], x[4:]
     p_w = so3.quat_rotate(q, stack_xyz) + t
-    d, idx = masked_knn(p_w, map_pts, map_mask, k=cfg.knn)
+    d, idx = _map_knn(p_w, map_pts, map_mask, grid, cfg)
     ok = stack_mask & (d[:, cfg.knn - 1] < cfg.neighbor_radius_sq)
     near = map_pts[idx]  # [B, 5, 3]
     AtA = jnp.einsum("bki,bkj->bij", near, near)
@@ -193,13 +203,25 @@ def solve_mapping(
         n_map_surf > cfg.min_surf_map_points
     )
 
+    if cfg.use_hash_grid:
+        from .hashgrid import build_hash_grid
+
+        grid_c = build_hash_grid(flat_c, flat_cm, cfg.grid_cell,
+                                 cap=cfg.grid_corner_cap)
+        grid_s = build_hash_grid(flat_s, flat_sm, cfg.grid_cell,
+                                 cap=cfg.grid_surf_cap)
+    else:
+        grid_c = grid_s = None
+
     def do_solve(x):
         for _ in range(cfg.outer_rounds):
             a, b, de, v_c = _corner_terms(
-                corner_stack_xyz, corner_stack_mask, flat_c, flat_cm, x, cfg
+                corner_stack_xyz, corner_stack_mask, flat_c, flat_cm, x, cfg,
+                grid_c,
             )
             n_hat, nood, v_s = _surf_terms(
-                surf_stack_xyz, surf_stack_mask, flat_s, flat_sm, x, cfg
+                surf_stack_xyz, surf_stack_mask, flat_s, flat_sm, x, cfg,
+                grid_s,
             )
 
             def make_families(xx):
