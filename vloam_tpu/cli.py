@@ -67,7 +67,7 @@ def main(argv=None):
 
     # cmd == run
     from .config import kitti_hdl64
-    from .pipeline import run_sequence
+    from .pipeline import run_sequence, run_sequence_fused
     from .runtime.profiling import summarize_timings
 
     cfg = kitti_hdl64().replace(

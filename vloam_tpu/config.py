@@ -127,6 +127,9 @@ class VisualOdometryConfig:
     remove_VO_outlier: float = 100.0  # px gate, vloam_main.launch:6
     reset_VO_to_identity: bool = False  # vloam_main.launch:5
     clahe: bool = False  # vloam_main.launch:8
+    keypoint_nms: bool = False  # vloam_main.launch:7 (bucketed NMS, <=400)
+    nms_bucket: int = 100  # image_util.h keyPointsNMS defaults
+    nms_max_total: int = 400
     downsample_grid_size: int = 5  # point_cloud_util.h:26
     depth_search_radius: int = 2  # point_cloud_util.h:35 queryDepth r
     min_depth_neighbors: int = 10  # point_cloud_util.cpp:337

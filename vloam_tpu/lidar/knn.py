@@ -62,22 +62,29 @@ def masked_knn(
     mp = _pad_to(c_mask, nc * c_tile, fill=False).reshape(nc, c_tile)
 
     def one_qtile(qt):
+        def tile_topk(ct, cm, base):
+            d = jnp.where(cm[None, :], _dist_sq(qt, ct), jnp.float32(_INF))
+            ti = base + jnp.arange(c_tile, dtype=jnp.int32)
+            td, tt = jax.lax.top_k(-d, k)
+            return -td, ti[tt]
+
         def scan_ctile(carry, inp):
             best_d, best_i = carry
             ct, cm, base = inp
-            d = jnp.where(cm[None, :], _dist_sq(qt, ct), _INF)
-            ti = base + jnp.arange(c_tile)
-            # merge running top-k with this tile's top-k
-            td, tt = jax.lax.top_k(-d, k)
-            cat_d = jnp.concatenate([best_d, -td], axis=1)
-            cat_i = jnp.concatenate([best_i, ti[tt]], axis=1)
+            td, ti = tile_topk(ct, cm, base)
+            cat_d = jnp.concatenate([best_d, td], axis=1)
+            cat_i = jnp.concatenate([best_i, ti], axis=1)
             md, mi = jax.lax.top_k(-cat_d, k)
             take = jnp.take_along_axis(cat_i, mi, axis=1)
             return (-md, take), None
 
-        init = (jnp.full((q_tile, k), _INF), jnp.zeros((q_tile, k), jnp.int32))
-        bases = jnp.arange(nc) * c_tile
-        (bd, bi), _ = jax.lax.scan(scan_ctile, init, (cp, mp, bases))
+        # seed the carry from tile 0 so its sharding/varying type matches the
+        # body output under shard_map (a plain full() init is "unvarying" and
+        # rejected inside manual-sharding regions)
+        bases = jnp.arange(nc, dtype=jnp.int32) * c_tile
+        init = tile_topk(cp[0], mp[0], bases[0])
+        (bd, bi), _ = jax.lax.scan(scan_ctile, init,
+                                   (cp[1:], mp[1:], bases[1:]))
         return bd, bi
 
     bd, bi = jax.lax.map(one_qtile, qp)

@@ -344,6 +344,27 @@ def _insert_and_filter(
                    new_slot_coord)
 
 
+def export_map_points(cube_map: CubeMap, max_points: int = 1 << 20):
+    """Download the accumulated map as (corner [Mc,3], surf [Ms,3]) numpy
+    arrays (the /laser_cloud_map publisher analogue, reference
+    laser_mapping.cpp:778-793). One flattened masked download."""
+    c_mask = (jnp.arange(cube_map.corner_pts.shape[1])[None, :]
+              < cube_map.corner_cnt[:, None])
+    s_mask = (jnp.arange(cube_map.surf_pts.shape[1])[None, :]
+              < cube_map.surf_cnt[:, None])
+    flat = jnp.concatenate([
+        cube_map.corner_pts.reshape(-1, 3),
+        cube_map.surf_pts.reshape(-1, 3),
+    ]).reshape(-1)
+    masks = jnp.concatenate([c_mask.reshape(-1), s_mask.reshape(-1)])
+    nc = cube_map.corner_pts.shape[0] * cube_map.corner_pts.shape[1]
+    pts = np.asarray(flat).reshape(-1, 3)
+    m = np.asarray(masks)
+    corner = pts[:nc][m[:nc]][:max_points]
+    surf = pts[nc:][m[nc:]][:max_points]
+    return corner, surf
+
+
 class LaserMapping:
     """Host-side wrapper mirroring reference LaserMapping (input/solve/
     publish), with f64 odom->map offset bookkeeping."""

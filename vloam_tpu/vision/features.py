@@ -29,6 +29,87 @@ def _conv2_same(img: jnp.ndarray, kern: jnp.ndarray) -> jnp.ndarray:
     return jax.scipy.signal.convolve2d(img, kern, mode="same")
 
 
+@partial(jax.jit, static_argnames=("tiles", "n_bins"))
+def clahe(img: jnp.ndarray, clip_limit: float = 2.0, tiles: tuple = (8, 8),
+          n_bins: int = 256) -> jnp.ndarray:
+    """Contrast-limited adaptive histogram equalization (the reference's
+    cv::createCLAHE(2.0) preprocessing, visual_odometry.cpp:31,97-100).
+
+    Per-tile histograms -> clipped + redistributed -> CDF LUTs -> bilinear
+    blend of the 4 surrounding tile LUTs per pixel. All scatter/gather."""
+    h, w = img.shape
+    ty, tx = tiles
+    th = -(-h // ty)
+    tw = -(-w // tx)
+    pad_img = jnp.pad(img, ((0, ty * th - h), (0, tx * tw - w)), mode="edge")
+    bins = jnp.clip((pad_img * (n_bins - 1)).astype(jnp.int32), 0, n_bins - 1)
+    tile_r = jnp.arange(ty * th) // th
+    tile_c = jnp.arange(tx * tw) // tw
+    tid = tile_r[:, None] * tx + tile_c[None, :]
+    flat_idx = tid * n_bins + bins
+    hist = jnp.zeros((ty * tx * n_bins,), jnp.float32).at[
+        flat_idx.reshape(-1)].add(1.0)
+    hist = hist.reshape(ty * tx, n_bins)
+    n_pix = th * tw
+    clip = clip_limit * n_pix / n_bins
+    excess = jnp.sum(jnp.maximum(hist - clip, 0.0), axis=1, keepdims=True)
+    hist = jnp.minimum(hist, clip) + excess / n_bins
+    cdf = jnp.cumsum(hist, axis=1)
+    cdf_min = cdf[:, :1]
+    lut = (cdf - cdf_min) / jnp.maximum(n_pix - cdf_min, 1.0)  # [T, n_bins]
+    lut = lut.reshape(ty, tx, n_bins)
+
+    # bilinear interpolation between tile centers
+    yy = jnp.arange(h, dtype=jnp.float32)
+    xx = jnp.arange(w, dtype=jnp.float32)
+    fy = jnp.clip((yy - th / 2.0) / th, 0.0, ty - 1.0)
+    fx = jnp.clip((xx - tw / 2.0) / tw, 0.0, tx - 1.0)
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, ty - 2) if ty > 1 else jnp.zeros_like(fy, jnp.int32)
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, tx - 2) if tx > 1 else jnp.zeros_like(fx, jnp.int32)
+    wy = (fy - y0) if ty > 1 else jnp.zeros_like(fy)
+    wx = (fx - x0) if tx > 1 else jnp.zeros_like(fx)
+    b = bins[:h, :w]
+    y0g = y0[:, None]
+    x0g = x0[None, :]
+    v00 = lut[y0g, x0g, b]
+    v01 = lut[y0g, jnp.minimum(x0g + 1, tx - 1), b]
+    v10 = lut[jnp.minimum(y0g + 1, ty - 1), x0g, b]
+    v11 = lut[jnp.minimum(y0g + 1, ty - 1), jnp.minimum(x0g + 1, tx - 1), b]
+    wyg = wy[:, None]
+    wxg = wx[None, :]
+    out = (v00 * (1 - wyg) * (1 - wxg) + v01 * (1 - wyg) * wxg
+           + v10 * wyg * (1 - wxg) + v11 * wyg * wxg)
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def bucket_nms(xy, score, mask, img_w, img_h, bucket_w: int = 100,
+               bucket_h: int = 100, max_total: int = 400):
+    """Bucketed keypoint NMS (reference keyPointsNMS, image_util.cpp:
+    100-150): cap keypoints per bucket_w x bucket_h cell, then keep the
+    strongest max_total overall. Returns an updated mask."""
+    nx = -(-img_w // bucket_w)
+    ny = -(-img_h // bucket_h)
+    per_bucket = max(1, max_total // (nx * ny))
+    bid = (xy[:, 0] // bucket_w).astype(jnp.int32) + nx * (
+        xy[:, 1] // bucket_h).astype(jnp.int32)
+    bid = jnp.where(mask, bid, nx * ny)
+    k = xy.shape[0]
+    # rank within bucket by descending score: sort by (bucket, -score)
+    order = jnp.lexsort((-score, bid))
+    bid_s = bid[order]
+    counts = jnp.bincount(bid_s, length=nx * ny + 1)
+    starts = jnp.concatenate([jnp.zeros((1,), counts.dtype),
+                              jnp.cumsum(counts)[:-1]])
+    rank = jnp.arange(k) - starts[jnp.minimum(bid_s, nx * ny - 1)]
+    keep_sorted = (rank < per_bucket) & (bid_s < nx * ny)
+    keep = jnp.zeros((k,), bool).at[order].set(keep_sorted)
+    keep = keep & mask
+    # global cap
+    s = jnp.where(keep, score, -jnp.inf)
+    kth = jax.lax.top_k(s, min(max_total, k))[0][-1]
+    return keep & (s >= kth)
+
+
 def _box_filter(img: jnp.ndarray, size: int) -> jnp.ndarray:
     """Unnormalized box sum via two cumsum passes (separable, O(HW))."""
     pad = size // 2

@@ -124,8 +124,15 @@ class VisualOdometry:
         """img: [H, W] float32 in [0,1] (reference processImage :92-130)."""
         i = self.i
         im = jnp.asarray(img, jnp.float32)
+        if self.cfg.clahe:
+            im = features.clahe(im)
         self.images[i] = im
         xy, score, mask = features.detect_keypoints(im, self.cfg)
+        if self.cfg.keypoint_nms:
+            mask = features.bucket_nms(
+                xy, score, mask, self.cfg.img_width, self.cfg.img_height,
+                self.cfg.nms_bucket, self.cfg.nms_bucket,
+                self.cfg.nms_max_total)
         self.kp[i] = xy
         self.kp_mask[i] = mask
         if not self.cfg.optical_flow_match:

@@ -119,10 +119,16 @@ def vloam_frame_step(
     """Returns (new_state, out [VLOAM_OUT_DIM]):
     out = [loam_out(24), vo_q(4), vo_t(3), n32, n22]."""
     img = image_u8.astype(jnp.float32) / 255.0
+    if cfg.vo.clahe:
+        img = features.clahe(img)
     initialized = state.loam.frame_idx > 0
 
     # S1: features
     xy, score, kp_mask = features.detect_keypoints(img, cfg.vo)
+    if cfg.vo.keypoint_nms:
+        kp_mask = features.bucket_nms(
+            xy, score, kp_mask, cfg.vo.img_width, cfg.vo.img_height,
+            cfg.vo.nms_bucket, cfg.vo.nms_bucket, cfg.vo.nms_max_total)
     desc = features.describe_keypoints(img, xy, cfg.vo)
 
     # S3: depth grid of the current frame
