@@ -25,7 +25,7 @@ def main():
 
     cfg = kitti_hdl64()
     scene = synthetic.urban_scene(0, extent=80.0)
-    chunk = 8
+    chunk = 16
     n_warm, n_meas = chunk, 4 * chunk
     poses = synthetic.drive_trajectory(n_warm + n_meas, speed=1.1,
                                       yaw_rate=0.01)
@@ -36,7 +36,8 @@ def main():
     ]
     sizes = [len(f) for f in frames]
 
-    eng = LoamEngine(cfg, chunk=chunk)
+    # 5 mm int16 ingest: below the sensor noise floor, halves upload bytes
+    eng = LoamEngine(cfg, chunk=chunk, quantize_mm=5.0)
     # warmup (compile + first chunk)
     for k in range(n_warm):
         eng.push(frames[k])

@@ -78,5 +78,6 @@ def test_cli_synthetic_run(tmp_path, capsys):
     assert rc == 0
     assert (tmp_path / "MO1.txt").exists()
     out = capsys.readouterr().out
-    assert "timing summary" in out
+    # fused engine prints throughput; host engine prints the stage timing
+    assert ("throughput" in out) or ("timing summary" in out)
     assert "MO" in out

@@ -138,17 +138,21 @@ def loam_frame_step(
     return new_state, out
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("cfg", "scale"), donate_argnums=(0,))
 def loam_run_chunk(
     state: LoamState,
-    scans: jnp.ndarray,  # [F, max_points, 3]
+    scans: jnp.ndarray,  # [F, max_points, 3] float32 OR int16 (x scale)
     n_pts: jnp.ndarray,  # [F]
     prior_q: jnp.ndarray,  # [F, 4]
     prior_t: jnp.ndarray,  # [F, 3]
     use_prior: jnp.ndarray,  # [F] bool
     cfg: PipelineConfig,
+    scale: float = 1.0,
 ):
-    """Advance F frames on device; returns (state, outs [F, OUT_DIM])."""
+    """Advance F frames on device; returns (state, outs [F, OUT_DIM]).
+    int16 scans are dequantized on device (halves host->device bytes)."""
+    if scans.dtype != jnp.float32:
+        scans = scans.astype(jnp.float32) * scale
 
     def body(st, inp):
         scan, n, pq, pt, up = inp
@@ -159,22 +163,37 @@ def loam_run_chunk(
 
 class LoamEngine:
     """Host wrapper: chunked device-resident LOAM over a frame stream.
-    Outputs stay on device until `finish()` (one flattened download)."""
+    Outputs stay on device until `finish()` (one flattened download).
 
-    def __init__(self, cfg: PipelineConfig, chunk: int = 8):
+    quantize_mm > 0 stages scans as int16 in that many millimeters per unit
+    (e.g. 5 -> 5 mm resolution, +-163 m range), halving upload bytes; the
+    chunk kernel dequantizes on device."""
+
+    def __init__(self, cfg: PipelineConfig, chunk: int = 8,
+                 quantize_mm: float = 0.0):
         self.cfg = cfg
         self.chunk = chunk
+        self.quantize_mm = quantize_mm
         self.state = LoamState.create(cfg)
         self._outs = []
         self._pending_scans: list[np.ndarray] = []
         self._pending_n: list[int] = []
 
-    def push(self, points: np.ndarray):
+    def _stage(self, points: np.ndarray) -> np.ndarray:
+        cap = self.cfg.lidar.max_points
+        if self.quantize_mm > 0:
+            out = np.zeros((cap, 3), np.int16)
+            n = min(len(points), cap)
+            out[:n] = np.clip(points[:n] * (1000.0 / self.quantize_mm),
+                              -32767, 32767).astype(np.int16)
+            return out
         from ..data.synthetic import pad_scan
 
-        padded, n = pad_scan(points, self.cfg.lidar.max_points)
-        self._pending_scans.append(padded)
-        self._pending_n.append(n)
+        return pad_scan(points, cap)[0]
+
+    def push(self, points: np.ndarray):
+        self._pending_scans.append(self._stage(points))
+        self._pending_n.append(min(len(points), self.cfg.lidar.max_points))
         if len(self._pending_scans) >= self.chunk:
             self._flush()
 
@@ -188,12 +207,13 @@ class LoamEngine:
         pt = jnp.zeros((f, 3), jnp.float32)
         up = jnp.zeros((f,), bool)
         self._pending_scans, self._pending_n = [], []
+        scale = self.quantize_mm / 1000.0 if self.quantize_mm > 0 else 1.0
         if f == self.chunk:
             self.state, outs = loam_run_chunk(self.state, scans, ns, pq, pt,
-                                              up, self.cfg)
+                                              up, self.cfg, scale)
         else:  # tail chunk: separate compile, still one call
             self.state, outs = loam_run_chunk_dyn(self.state, scans, ns, pq,
-                                                  pt, up, self.cfg)
+                                                  pt, up, self.cfg, scale)
         self._outs.append(outs)
 
     def finish(self) -> np.ndarray:
@@ -206,8 +226,12 @@ class LoamEngine:
 
 
 # non-donating variant for odd-size tail chunks
-@partial(jax.jit, static_argnames=("cfg",))
-def loam_run_chunk_dyn(state, scans, n_pts, prior_q, prior_t, use_prior, cfg):
+@partial(jax.jit, static_argnames=("cfg", "scale"))
+def loam_run_chunk_dyn(state, scans, n_pts, prior_q, prior_t, use_prior, cfg,
+                       scale: float = 1.0):
+    if scans.dtype != jnp.float32:
+        scans = scans.astype(jnp.float32) * scale
+
     def body(st, inp):
         scan, n, pq, pt, up = inp
         return loam_frame_step(st, scan, n, pq, pt, up, cfg)
