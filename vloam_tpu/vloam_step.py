@@ -193,6 +193,11 @@ def vloam_frame_step(
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def vloam_run_chunk(state, scans, n_pts, images_u8, ext, cfg):
+    """Single-program chunk (kept for reference/tests). NOTE: measured ~60x
+    slower than the split path on TPU — XLA fails to alias the cube-map scan
+    carry once the vision graph is fused in, copying ~300 MB per frame. Use
+    VloamEngine (vision jit + LOAM jit alternation) for production."""
+
     def body(st, inp):
         scan, n, img = inp
         return vloam_frame_step(st, scan, n, img, ext, cfg)
@@ -200,45 +205,141 @@ def vloam_run_chunk(state, scans, n_pts, images_u8, ext, cfg):
     return jax.lax.scan(body, state, (scans, n_pts, images_u8))
 
 
+class VisionState(NamedTuple):
+    prev_kp: jnp.ndarray
+    prev_kp_mask: jnp.ndarray
+    prev_desc: jnp.ndarray
+    prev_img: jnp.ndarray
+    prev_grid: DepthGrid
+
+    @staticmethod
+    def create(cfg: PipelineConfig) -> "VisionState":
+        s = VloamState.create(cfg)
+        return VisionState(s.prev_kp, s.prev_kp_mask, s.prev_desc,
+                           s.prev_img, s.prev_grid)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def vo_frame_jit(
+    vstate: VisionState,
+    scan: jnp.ndarray,
+    n_pts: jnp.ndarray,
+    image_u8: jnp.ndarray,
+    q_lo_f2f: jnp.ndarray,  # previous LO f2f (velo frame) for seeding
+    t_lo_f2f: jnp.ndarray,
+    initialized: jnp.ndarray,  # bool
+    ext: CamExtrinsics,
+    cfg: PipelineConfig,
+):
+    """Vision half of the VLOAM frame: detect/describe/match + depth grid +
+    VO solve. Returns (vstate', prior_q, prior_t, vo_ok, vo_out [9])."""
+    img = image_u8.astype(jnp.float32) / 255.0
+    if cfg.vo.clahe:
+        img = features.clahe(img)
+    xy, score, kp_mask = features.detect_keypoints(img, cfg.vo)
+    if cfg.vo.keypoint_nms:
+        kp_mask = features.bucket_nms(
+            xy, score, kp_mask, cfg.vo.img_width, cfg.vo.img_height,
+            cfg.vo.nms_bucket, cfg.vo.nms_bucket, cfg.vo.nms_max_total)
+    desc = features.describe_keypoints(img, xy, cfg.vo)
+    in_mask = jnp.arange(scan.shape[0]) < n_pts
+    grid = build_depth_grid(scan, in_mask, ext.P_velo_to_img, cfg.vo)
+
+    q_lo_i, t_lo_i = _invert(q_lo_f2f, t_lo_f2f)
+    q_seed, t_seed = _conjugate(ext.q_base_cam, ext.t_base_cam, q_lo_i, t_lo_i)
+    a_seed = so3.axis_angle_from_quat(q_seed)
+    if cfg.vo.reset_VO_to_identity:
+        a_seed = jnp.zeros(3, jnp.float32)
+        t_seed = jnp.zeros(3, jnp.float32)
+
+    if cfg.vo.optical_flow_match:
+        xy1, status = lk_flow(vstate.prev_img, img, vstate.prev_kp, cfg.vo)
+        prev_uv, curr_uv = vstate.prev_kp, xy1
+        valid = vstate.prev_kp_mask & status
+    else:
+        idx1, ok = features.match_descriptors(
+            vstate.prev_desc, vstate.prev_kp_mask, desc, kp_mask,
+            cfg.vo.match_ratio)
+        prev_uv = vstate.prev_kp
+        curr_uv = xy[idx1]
+        valid = ok
+    valid = valid & initialized
+
+    angles, t_vo, n32, n22 = solve_vo(
+        prev_uv, curr_uv, valid, vstate.prev_grid, ext.K,
+        a_seed.astype(jnp.float32), t_seed.astype(jnp.float32), cfg.vo)
+    q_vo = so3.quat_from_axis_angle(angles)
+    vo_ok = initialized & jnp.all(jnp.isfinite(angles)) & jnp.all(
+        jnp.isfinite(t_vo))
+    q_vo = jnp.where(vo_ok, q_vo, jnp.asarray([0, 0, 0, 1], jnp.float32))
+    t_vo = jnp.where(vo_ok, t_vo, jnp.zeros(3, jnp.float32))
+
+    q_vo_i, t_vo_i = _invert(q_vo, t_vo)
+    qv_i, tv_i = _invert(ext.q_velo_cam, ext.t_velo_cam)
+    q_pr, t_pr = _conjugate(qv_i, tv_i, q_vo_i, t_vo_i)
+
+    new_vstate = VisionState(xy, kp_mask, desc, img, grid)
+    vo_out = jnp.concatenate([
+        q_vo, t_vo, jnp.asarray([n32, n22], jnp.float32)
+    ])
+    return new_vstate, q_pr, t_pr, vo_ok, vo_out
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def loam_frame_jit(state: LoamState, scan, n_pts, prior_q, prior_t,
+                   use_prior, cfg: PipelineConfig):
+    return loam_frame_step(state, scan, n_pts, prior_q, prior_t, use_prior,
+                           cfg)
+
+
 class VloamEngine:
-    """Host wrapper for the fully fused VLOAM pipeline (camera + lidar)."""
+    """Host wrapper for the fused VLOAM pipeline (camera + lidar).
+
+    Runs two alternating device programs per frame — the vision step (small
+    state: keypoints/descriptors/depth grid) and the LOAM step (large state:
+    cube map) — exchanging the VO<->LO coupling as tiny device arrays. Split
+    this way, the cube map keeps its in-place buffer aliasing (a single
+    fused program copies the ~300 MB map every frame; see vloam_run_chunk).
+    No per-frame host downloads; packed outputs are fetched in finish()."""
 
     def __init__(self, cfg: PipelineConfig, calib, chunk: int = 4):
         self.cfg = cfg
-        self.chunk = chunk
+        self.chunk = chunk  # kept for API compat; steps run per frame
         self.ext = CamExtrinsics.from_calib(calib)
-        self.state = VloamState.create(cfg)
-        self._outs = []
-        self._scans, self._ns, self._imgs = [], [], []
+        self.vstate = VisionState.create(cfg)
+        self.lstate = LoamState.create(cfg)
+        self._outs = []  # device arrays [VLOAM_OUT_DIM]
+        self._frame = 0
+
+    @property
+    def state(self):
+        """Pytree to block on (API compat with the old fused engine)."""
+        return (self.vstate, self.lstate)
 
     def push(self, points: np.ndarray, image: np.ndarray):
         from .data.synthetic import pad_scan
 
         padded, n = pad_scan(points, self.cfg.lidar.max_points)
-        self._scans.append(padded)
-        self._ns.append(n)
         if image.dtype != np.uint8:
             image = np.clip(image * 255.0, 0, 255).astype(np.uint8)
-        self._imgs.append(image)
-        if len(self._scans) >= self.chunk:
-            self._flush()
-
-    def _flush(self):
-        if not self._scans:
-            return
-        scans = jnp.asarray(np.stack(self._scans))
-        ns = jnp.asarray(np.asarray(self._ns, np.int32))
-        imgs = jnp.asarray(np.stack(self._imgs))
-        self._scans, self._ns, self._imgs = [], [], []
-        self.state, outs = vloam_run_chunk(self.state, scans, ns, imgs,
-                                           self.ext, self.cfg)
-        self._outs.append(outs)
+        scan = jnp.asarray(padded)
+        img = jnp.asarray(image)
+        n_dev = jnp.int32(n)
+        initialized = jnp.bool_(self._frame > 0)
+        self.vstate, q_pr, t_pr, vo_ok, vo_out = vo_frame_jit(
+            self.vstate, scan, n_dev, img, self.lstate.q_f2f,
+            self.lstate.t_f2f, initialized, self.ext, self.cfg)
+        use_prior = jnp.logical_and(
+            jnp.logical_not(self.cfg.detach_VO_LO), vo_ok)
+        self.lstate, loam_out = loam_frame_jit(
+            self.lstate, scan, n_dev, q_pr, t_pr, use_prior, self.cfg)
+        self._outs.append(jnp.concatenate([loam_out, vo_out]))
+        self._frame += 1
 
     def finish(self) -> np.ndarray:
-        self._flush()
         if not self._outs:
             return np.zeros((0, VLOAM_OUT_DIM), np.float32)
-        stacked = jnp.concatenate(self._outs, axis=0).reshape(-1)
+        stacked = jnp.stack(self._outs).reshape(-1)
         return np.asarray(stacked).reshape(-1, VLOAM_OUT_DIM)
 
 
