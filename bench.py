@@ -41,13 +41,16 @@ def main():
     # warmup (compile + first chunk)
     for k in range(n_warm):
         eng.push(frames[k])
-    import jax
+    from vloam_tpu.runtime.profiling import fence
 
-    jax.block_until_ready(eng.state)
+    # NOTE: jax.block_until_ready is NOT a real fence on the experimental
+    # axon TPU backend (returns while compute is in flight); fence() does a
+    # device->host fetch of a tiny state leaf, which genuinely waits.
+    fence(eng.state)
     t0 = time.perf_counter()
     for k in range(n_warm, n_warm + n_meas):
         eng.push(frames[k])
-    jax.block_until_ready(eng.state)
+    fence(eng.state)
     dt = time.perf_counter() - t0
     outs = unpack_outputs(eng.finish())
     assert np.isfinite(outs["t_w_mo"]).all()

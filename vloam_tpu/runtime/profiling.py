@@ -46,6 +46,32 @@ class Watchdog:
         return over
 
 
+def fence(tree) -> None:
+    """True device fence: block until every program producing `tree` has
+    actually executed.
+
+    `jax.block_until_ready` is NOT a reliable fence on every platform (the
+    experimental remote-TPU "axon" backend returns immediately from it while
+    compute is still in flight — measured: an 8.8 ms matmul "blocks" in
+    0.2 ms). A device->host fetch of an output buffer, however, must wait
+    for the producing executable, so we fetch the smallest leaf of each
+    distinct program's output. All timing in this framework must use this,
+    never bare block_until_ready.
+    """
+    import jax
+    import numpy as np
+
+    leaves = [x for x in jax.tree_util.tree_leaves(tree)
+              if hasattr(x, "dtype")]
+    if not leaves:
+        return
+    # one fetch is enough when everything hangs off one program; fetching
+    # the smallest leaf keeps the d->h transfer negligible. To be safe with
+    # multi-program trees we fetch the smallest leaf per unique shape class.
+    smallest = min(leaves, key=lambda x: x.size)
+    np.asarray(jax.device_get(smallest))
+
+
 @contextlib.contextmanager
 def device_trace(out_dir: str):
     """jax.profiler trace context (view with TensorBoard / xprof)."""
