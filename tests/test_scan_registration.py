@@ -11,7 +11,10 @@ import np_loam
 TINY = LidarProfile(name="tiny64", n_scans=64, minimum_range=2.0,
                     max_points=32768, ring_capacity=512)
 CFG = ScanRegistrationConfig(sharp_cap=1024, less_sharp_cap=8192,
-                             flat_cap=2048, less_flat_cap=8192)
+                             flat_cap=2048, less_flat_cap=8192,
+                             strict_sector_order=True)
+CFG_BATCHED = ScanRegistrationConfig(sharp_cap=1024, less_sharp_cap=8192,
+                                     flat_cap=2048, less_flat_cap=8192)
 
 
 def make_scan(seed=0, n_az=360):
@@ -136,3 +139,35 @@ def test_voxel_downsample_centroids(rng):
     got_s = got[np.lexsort(got.T)]
     want_s = want[np.lexsort(want.T)]
     np.testing.assert_allclose(got_s, want_s, atol=1e-4)
+
+
+def test_batched_sector_selection_near_equals_strict():
+    """The batched-sector pick rounds (default, 6x fewer serialized device
+    ops) may differ from the reference-exact sequential order only where a
+    suppression window crosses a sector boundary within one round; on a
+    realistic scan that is a <1% label disagreement."""
+    import jax
+
+    pts_all = make_scan(seed=5, n_az=720)
+    xyz = jnp.asarray(synthetic.pad_scan(pts_all, TINY.max_points)[0])
+    n_points = jnp.int32(min(len(pts_all), TINY.max_points))
+    in_range = jnp.arange(TINY.max_points) < n_points
+    rng_sq = jnp.sum(xyz * xyz, axis=-1)
+    valid_range = in_range & (rng_sq >= TINY.minimum_range**2)
+    ring_j, valid_j = sr.assign_rings(xyz, valid_range, TINY)
+    rel = sr._relative_time(xyz, valid_range, valid_j)
+    pts_r, rt_r, counts = sr._ring_layout(xyz, ring_j, rel, valid_j, 64,
+                                          TINY.ring_capacity)
+    curv = sr._curvature(pts_r)
+    lab_strict = np.asarray(jax.vmap(
+        lambda p, c, k: sr._select_ring(p, c, k, CFG)[0])(pts_r, curv, counts))
+    lab_batch = np.asarray(jax.vmap(
+        lambda p, c, k: sr._select_ring(p, c, k, CFG_BATCHED)[0])(
+        pts_r, curv, counts))
+    total = max(int(np.sum(counts)), 1)
+    diff = int(np.sum(lab_strict != lab_batch))
+    assert diff / total < 0.01, (diff, total)
+    # same per-class totals within 3%
+    for v in (2, 1, -1):
+        a, b = int(np.sum(lab_strict == v)), int(np.sum(lab_batch == v))
+        assert abs(a - b) <= max(4, int(0.03 * max(a, b))), (v, a, b)

@@ -44,6 +44,12 @@ class ScanRegistrationConfig:
     max_flat_per_sector: int = 4
     neighbor_suppress_gap_sq: float = 0.05  # ":358"
     less_flat_leaf: float = 0.2  # VoxelGrid leaf (":436")
+    # True (default) = reference-exact sequential sector order; False runs
+    # the 6 sectors' picks batched per round (differs only when a
+    # suppression window crosses a sector boundary within one round). Both
+    # cost ~1.3 ms/frame on TPU once suppression uses the break-prefix
+    # formulation, so the exact order is the default.
+    strict_sector_order: bool = True
     # Static caps for the padded feature tensors.
     sharp_cap: int = 1024
     less_sharp_cap: int = 8192
@@ -91,11 +97,12 @@ class LaserMappingConfig:
     corner_stack_cap: int = 4096
     surf_stack_cap: int = 16384
     knn: int = 5
-    # Hashed fine-grid NN for scan-to-map association (vs tiled brute
-    # force): ~100x less distance arithmetic but measured SLOWER on TPU
-    # (132 vs 307 fps) — scattered gathers lose to dense MXU matmuls at
-    # these sizes. Kept as an option for other backends/shapes.
-    use_hash_grid: bool = False
+    # Hashed cell-slab grid NN for scan-to-map association (default): ~500x
+    # less distance work than the tiled brute force, with a slab memory
+    # layout that keeps TPU gather descriptor counts low (true-fenced
+    # measurement: 3x+ faster mapping solve; the earlier "brute force wins"
+    # finding came from a broken block_until_ready fence on this platform).
+    use_hash_grid: bool = True
     grid_cell: float = 1.0
     grid_corner_cap: int = 24  # >= cell occupancy at 0.4 m map resolution
     grid_surf_cap: int = 16  # >= cell occupancy at 0.8 m map resolution

@@ -1,11 +1,19 @@
-"""Hashed voxel grid for fixed-radius k-NN (the TPU voxel-hash design from
-SURVEY §7: bucket-grid association instead of KD-trees).
+"""Hashed cell-slab grid for fixed-radius k-NN (the TPU voxel-hash design
+from SURVEY §7: bucket-grid association instead of KD-trees, replacing
+pcl::KdTreeFLANN 5-NN at reference laser_mapping.cpp:477,543).
 
-Used by the mapping stage where the candidate set is large (up to ~300k
-padded map points) and the acceptance radius is small (1 m): a murmur-hashed
-1 m cell table is built once per frame (one sort), and each query probes its
-3x3x3 neighbor cells — a few hundred candidates instead of the full set,
-~100x less distance work than the tiled brute force at these sizes.
+Layout is chosen for TPU gather economics (measured on-chip: gathers cost
+~6 ns per DESCRIPTOR regardless of row width, so one [cap,3] slab gather is
+~cap times cheaper than cap row gathers):
+
+- build: one sort of the ~300k map points by hashed 1 m cell id, then a
+  single scatter of their COORDINATES into dense slabs [n_buckets, cap, 3].
+- query: each of Q queries gathers its 27 neighbor-cell slabs (27 slab
+  descriptors/query instead of 27*cap row descriptors), computes squared
+  distances to the <= 27*cap candidates on the VPU, and top-k's.
+- empty slab entries hold a far-away sentinel coordinate, so no per-slot
+  count/mask gathers are needed: sentinel distances (~1e12) lose every
+  comparison and fail the 1 m acceptance gate naturally.
 
 Hash collisions only ADD candidates (two far cells sharing a bucket), never
 remove them, so results equal brute force within the probe radius; points
@@ -21,6 +29,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+# far-away but finite: squared distances stay ~1e12 (no inf-inf NaN traps)
+SENTINEL = 1.0e6
+
 
 def _hash_cell(ix, iy, iz, n_buckets):
     u = jnp.uint32
@@ -32,17 +43,14 @@ def _hash_cell(ix, iy, iz, n_buckets):
     return (h & u(n_buckets - 1)).astype(jnp.int32)
 
 
-class HashGrid(NamedTuple):
-    table: jnp.ndarray  # [n_buckets, cap] int32 indices into points
-    counts: jnp.ndarray  # [n_buckets] int32
-    points: jnp.ndarray  # [N, 3]
-    mask: jnp.ndarray  # [N]
+class CellGrid(NamedTuple):
+    slab: jnp.ndarray  # [n_buckets, cap, 3] point coords (SENTINEL padded)
     cell: float
 
 
 @partial(jax.jit, static_argnames=("cell", "n_buckets", "cap"))
-def build_hash_grid(points, mask, cell: float, n_buckets: int = 1 << 17,
-                    cap: int = 16) -> HashGrid:
+def build_cell_grid(points, mask, cell: float, n_buckets: int = 1 << 17,
+                    cap: int = 16) -> CellGrid:
     n = points.shape[0]
     c = jnp.floor(points / cell).astype(jnp.int32)
     h = _hash_cell(c[:, 0], c[:, 1], c[:, 2], n_buckets)
@@ -54,15 +62,14 @@ def build_hash_grid(points, mask, cell: float, n_buckets: int = 1 << 17,
         jnp.zeros((1,), jnp.int32),
         jnp.cumsum(counts).astype(jnp.int32)[:-1],
     ])
-    rank = jnp.arange(n, dtype=jnp.int32) - starts[jnp.minimum(key_s, n_buckets - 1)]
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[
+        jnp.minimum(key_s, n_buckets - 1)]
     dest_b = jnp.where((key_s < n_buckets) & (rank >= 0) & (rank < cap),
                        key_s, n_buckets)
     rank = jnp.clip(rank, 0, cap - 1)
-    table = jnp.zeros((n_buckets + 1, cap), jnp.int32)
-    table = table.at[dest_b, rank].set(order.astype(jnp.int32),
-                                       mode="drop")[:n_buckets]
-    return HashGrid(table=table, counts=jnp.minimum(counts, cap),
-                    points=points, mask=mask, cell=cell)
+    slab = jnp.full((n_buckets + 1, cap, 3), SENTINEL, jnp.float32)
+    slab = slab.at[dest_b, rank].set(points[order], mode="drop")[:n_buckets]
+    return CellGrid(slab=slab, cell=cell)
 
 
 _OFFSETS = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
@@ -70,25 +77,22 @@ _OFFSETS = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
 
 
 @partial(jax.jit, static_argnames=("k",))
-def hash_grid_knn(grid: HashGrid, queries: jnp.ndarray, k: int = 5):
+def cell_grid_knn(grid: CellGrid, queries: jnp.ndarray, k: int = 5):
     """k-NN among points within the 3x3x3 cell probe (all true neighbors
-    closer than `cell` are guaranteed found). Returns (d_sq [Q,k],
-    idx [Q,k]) ascending, inf where fewer than k candidates."""
-    n_buckets, cap = grid.table.shape
+    closer than `cell` are guaranteed found). Returns (d_sq [Q,k] ascending,
+    near [Q,k,3] candidate coordinates); slots beyond the candidate count
+    return sentinel points with d_sq ~1e12."""
+    n_buckets = grid.slab.shape[0]
+    cap = grid.slab.shape[1]
+    q = queries.shape[0]
     c = jnp.floor(queries / grid.cell).astype(jnp.int32)
-    hs = []
-    for dx, dy, dz in _OFFSETS:
-        hs.append(_hash_cell(c[:, 0] + dx, c[:, 1] + dy, c[:, 2] + dz,
-                             n_buckets))
+    hs = [
+        _hash_cell(c[:, 0] + dx, c[:, 1] + dy, c[:, 2] + dz, n_buckets)
+        for dx, dy, dz in _OFFSETS
+    ]
     buckets = jnp.stack(hs, axis=1)  # [Q, 27]
-    idx = grid.table[buckets]  # [Q, 27, cap]
-    slot_ok = (jnp.arange(cap)[None, None, :]
-               < grid.counts[buckets][:, :, None])  # [Q, 27, cap]
-    idx = idx.reshape(queries.shape[0], -1)  # [Q, 27*cap]
-    ok = slot_ok.reshape(queries.shape[0], -1)
-    cand = grid.points[idx]  # [Q, 27*cap, 3]
-    ok = ok & grid.mask[idx]
+    cand = grid.slab[buckets].reshape(q, 27 * cap, 3)
     d = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
-    d = jnp.where(ok, d, jnp.inf)
     nd, ni = jax.lax.top_k(-d, k)
-    return -nd, jnp.take_along_axis(idx, ni, axis=1)
+    near = jnp.take_along_axis(cand, ni[:, :, None], axis=1)
+    return -nd, near

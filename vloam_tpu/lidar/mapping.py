@@ -108,22 +108,23 @@ def gather_window(cube_map: CubeMap, center_coord: jnp.ndarray, cfg: LaserMappin
 
 
 def _map_knn(p_w, map_pts, map_mask, grid, cfg):
-    """5-NN in the gathered map: hashed-grid probe when enabled (exact
-    within the 1 m acceptance radius), tiled brute force otherwise."""
+    """5-NN in the gathered map -> (d_sq [B,k], near [B,k,3]): cell-slab
+    grid probe when enabled (exact within the 1 m acceptance radius; the
+    default — measured ~20x cheaper on TPU), tiled brute force otherwise."""
     if grid is not None:
-        from .hashgrid import hash_grid_knn
+        from .hashgrid import cell_grid_knn
 
-        return hash_grid_knn(grid, p_w, k=cfg.knn)
-    return masked_knn(p_w, map_pts, map_mask, k=cfg.knn)
+        return cell_grid_knn(grid, p_w, k=cfg.knn)
+    d, idx = masked_knn(p_w, map_pts, map_mask, k=cfg.knn)
+    return d, map_pts[idx]
 
 
 def _corner_terms(stack_xyz, stack_mask, map_pts, map_mask, x, cfg, grid=None):
     """Line features from 5-NN covariance (reference :472-517)."""
     q, t = x[:4], x[4:]
     p_w = so3.quat_rotate(q, stack_xyz) + t
-    d, idx = _map_knn(p_w, map_pts, map_mask, grid, cfg)
+    d, near = _map_knn(p_w, map_pts, map_mask, grid, cfg)
     ok = stack_mask & (d[:, cfg.knn - 1] < cfg.neighbor_radius_sq)
-    near = map_pts[idx]  # [B, 5, 3]
     center = jnp.mean(near, axis=1)
     dm = near - center[:, None, :]
     cov = jnp.einsum("bki,bkj->bij", dm, dm) / cfg.knn
@@ -141,9 +142,8 @@ def _surf_terms(stack_xyz, stack_mask, map_pts, map_mask, x, cfg, grid=None):
     """Plane features from 5-NN LS fit A n = -1 (reference :538-581)."""
     q, t = x[:4], x[4:]
     p_w = so3.quat_rotate(q, stack_xyz) + t
-    d, idx = _map_knn(p_w, map_pts, map_mask, grid, cfg)
+    d, near = _map_knn(p_w, map_pts, map_mask, grid, cfg)
     ok = stack_mask & (d[:, cfg.knn - 1] < cfg.neighbor_radius_sq)
-    near = map_pts[idx]  # [B, 5, 3]
     AtA = jnp.einsum("bki,bkj->bij", near, near)
     Atb = -jnp.sum(near, axis=1)  # A^T * (-1)
     # closed-form 3x3 solve via adjugate
@@ -204,11 +204,11 @@ def solve_mapping(
     )
 
     if cfg.use_hash_grid:
-        from .hashgrid import build_hash_grid
+        from .hashgrid import build_cell_grid
 
-        grid_c = build_hash_grid(flat_c, flat_cm, cfg.grid_cell,
+        grid_c = build_cell_grid(flat_c, flat_cm, cfg.grid_cell,
                                  cap=cfg.grid_corner_cap)
-        grid_s = build_hash_grid(flat_s, flat_sm, cfg.grid_cell,
+        grid_s = build_cell_grid(flat_s, flat_sm, cfg.grid_cell,
                                  cap=cfg.grid_surf_cap)
     else:
         grid_c = grid_s = None

@@ -128,23 +128,45 @@ def _curvature(ring_pts: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(diff * diff, axis=-1)
 
 
-def _suppress_window(picked, pts, ind, gap_sq):
-    """Mark +-5 neighbors of a picked point, stopping at a 3D gap
-    (reference :353-376)."""
-    win = jax.lax.dynamic_slice(pts, (ind - 5, 0), (11, 3))  # [11,3] around ind
-    d = jnp.sum((win[1:] - win[:-1]) ** 2, axis=-1)  # d[l] = |p[ind-5+l+1]-p[ind-5+l]|^2
-    fwd = d[5:]  # gaps (ind,ind+1) ... (ind+4,ind+5)
-    bwd = d[:5][::-1]  # gaps (ind-1,ind) ... (ind-5,ind-4)
-    sup_f = jnp.cumprod((fwd <= gap_sq).astype(jnp.int32)) > 0
-    sup_b = jnp.cumprod((bwd <= gap_sq).astype(jnp.int32)) > 0
-    window = jnp.concatenate([sup_b[::-1], jnp.ones((1,), bool), sup_f])
-    old = jax.lax.dynamic_slice(picked, (ind - 5,), (11,))
-    return jax.lax.dynamic_update_slice(picked, old | window, (ind - 5,))
+def _break_prefix(pts, gap_sq):
+    """Bf[i] = number of 3D gap breaks (consecutive-point distance^2 >
+    gap_sq) among gaps (0,1)...(i-1,i). Two indices i<j are gap-connected
+    iff Bf[i] == Bf[j]; the reference's +-5 suppression window around a pick
+    (scan_registration.cpp:353-376) marks exactly the indices within 5 that
+    are gap-connected to the pick, so suppression becomes one elementwise
+    compare against the pick's prefix value — no dynamic slices."""
+    d = jnp.sum((pts[1:] - pts[:-1]) ** 2, axis=-1)  # gap (i, i+1)
+    brk = (d > gap_sq).astype(jnp.int32)
+    return jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(brk)])
+
+
+def _suppress_mask(idx, bf, ind):
+    """Elementwise suppression window of a pick at `ind` (see _break_prefix)."""
+    return (jnp.abs(idx - ind) <= 5) & (bf == bf[ind])
+
+
+def _sector_masks(idx, start, end, ring_ok, exists, n_sectors):
+    """[n_sectors, R] membership masks (reference sector bounds :317-320)."""
+    masks = []
+    for j in range(n_sectors):
+        sp = start + (end - start) * j // n_sectors
+        ep = start + (end - start) * (j + 1) // n_sectors - 1
+        masks.append((idx >= sp) & (idx <= ep) & ring_ok & exists)
+    return jnp.stack(masks)
 
 
 def _select_ring(pts, curv, cnt, cfg: ScanRegistrationConfig):
     """Greedy feature selection for one ring. Returns label [R] int32:
-    2 sharp, 1 less-sharp, -1 flat, 0 none; and the selectable-range mask."""
+    2 sharp, 1 less-sharp, -1 flat, 0 none; and the selectable-range mask.
+
+    Strict mode (cfg.strict_sector_order) follows the reference exactly:
+    sectors processed sequentially, each pick seeing all previous sectors'
+    suppression. Batched mode (default) runs the 6 sectors' k-th picks
+    simultaneously — one argmax over [n_sectors, R] per pick round instead
+    of n_sectors separate rounds (6x fewer serialized device ops). The two
+    differ only when a pick's +-5 suppression window crosses a sector
+    boundary during the same round — a <=5/~425-candidate edge effect.
+    """
     r_cap = pts.shape[0]
     idx = jnp.arange(r_cap)
     start, end = 5, cnt - 6  # scanStartInd/scanEndInd in-ring (reference :278-280)
@@ -154,45 +176,84 @@ def _select_ring(pts, curv, cnt, cfg: ScanRegistrationConfig):
     thr = cfg.curvature_threshold
     n_corner = cfg.max_less_sharp_per_sector
     n_flat = cfg.max_flat_per_sector
+    bf = _break_prefix(pts, gap_sq)
+    sect = _sector_masks(idx, start, end, ring_ok, exists, cfg.n_sectors)
 
-    def sector_body(j, state):
-        picked, label = state
-        sp = start + (end - start) * j // cfg.n_sectors
-        ep = start + (end - start) * (j + 1) // cfg.n_sectors - 1
-        in_sector = (idx >= sp) & (idx <= ep) & ring_ok & exists
+    picked = jnp.zeros((r_cap,), bool)
+    label = jnp.zeros((r_cap,), jnp.int32)
 
-        def corner_pick(k, st):
+    if cfg.strict_sector_order:
+        def sector_body(j, state):
+            picked, label = state
+            in_sector = jax.lax.dynamic_index_in_dim(sect, j, keepdims=False)
+
+            def corner_pick(k, st):
+                picked, label = st
+                c = jnp.where(in_sector & ~picked & (curv > thr), curv, -jnp.inf)
+                ind = jnp.argmax(c)
+                ok = c[ind] > thr
+                lab = jnp.where(k < cfg.max_sharp_per_sector, 2, 1)
+                label = jnp.where(ok, label.at[ind].set(lab), label)
+                picked = picked | (ok & _suppress_mask(idx, bf, ind))
+                return picked, label
+
+            picked, label = jax.lax.fori_loop(0, n_corner, corner_pick,
+                                              (picked, label))
+
+            def flat_pick(k, st):
+                picked, label = st
+                c = jnp.where(in_sector & ~picked & (curv < thr), curv, jnp.inf)
+                ind = jnp.argmin(c)
+                ok = c[ind] < thr
+                label = jnp.where(ok, label.at[ind].set(-1), label)
+                # The reference breaks out before suppressing the 4th flat
+                # pick (scan_registration.cpp:390-394), so the last pick is
+                # not suppressed.
+                picked = picked | (ok & (k < n_flat - 1)
+                                   & _suppress_mask(idx, bf, ind))
+                return picked, label
+
+            picked, label = jax.lax.fori_loop(0, n_flat, flat_pick,
+                                              (picked, label))
+            return picked, label
+
+        _, label = jax.lax.fori_loop(0, cfg.n_sectors, sector_body,
+                                     (picked, label))
+    else:
+        ns = cfg.n_sectors
+        srange = jnp.arange(ns)
+
+        def corner_round(k, st):
             picked, label = st
-            c = jnp.where(in_sector & ~picked & (curv > thr), curv, -jnp.inf)
-            ind = jnp.argmax(c)
-            ok = c[ind] > thr
+            elig = sect & (~picked & (curv > thr))[None, :]  # [ns, R]
+            c = jnp.where(elig, curv[None, :], -jnp.inf)
+            ind = jnp.argmax(c, axis=1)  # [ns]
+            ok = c[srange, ind] > thr
             lab = jnp.where(k < cfg.max_sharp_per_sector, 2, 1)
-            label = jnp.where(ok, label.at[ind].set(lab), label)
-            new_picked = _suppress_window(picked, pts, ind, gap_sq)
-            picked = jnp.where(ok, new_picked, picked)
+            label = label.at[ind].set(jnp.where(ok, lab, label[ind]))
+            supp = (jnp.abs(idx[None, :] - ind[:, None]) <= 5) & (
+                bf[None, :] == bf[ind][:, None]) & ok[:, None]
+            picked = picked | jnp.any(supp, axis=0)
             return picked, label
 
-        picked, label = jax.lax.fori_loop(0, n_corner, corner_pick, (picked, label))
+        picked, label = jax.lax.fori_loop(0, n_corner, corner_round,
+                                          (picked, label))
 
-        def flat_pick(k, st):
+        def flat_round(k, st):
             picked, label = st
-            c = jnp.where(in_sector & ~picked & (curv < thr), curv, jnp.inf)
-            ind = jnp.argmin(c)
-            ok = c[ind] < thr
-            label = jnp.where(ok, label.at[ind].set(-1), label)
-            # The reference breaks out before suppressing the 4th flat pick
-            # (scan_registration.cpp:390-394), so the last pick is not
-            # suppressed.
-            new_picked = _suppress_window(picked, pts, ind, gap_sq)
-            picked = jnp.where(ok & (k < n_flat - 1), new_picked, picked)
+            elig = sect & (~picked & (curv < thr))[None, :]
+            c = jnp.where(elig, curv[None, :], jnp.inf)
+            ind = jnp.argmin(c, axis=1)
+            ok = c[srange, ind] < thr
+            label = label.at[ind].set(jnp.where(ok, -1, label[ind]))
+            supp = (jnp.abs(idx[None, :] - ind[:, None]) <= 5) & (
+                bf[None, :] == bf[ind][:, None]) & (
+                ok & (k < n_flat - 1))[:, None]
+            picked = picked | jnp.any(supp, axis=0)
             return picked, label
 
-        picked, label = jax.lax.fori_loop(0, n_flat, flat_pick, (picked, label))
-        return picked, label
+        _, label = jax.lax.fori_loop(0, n_flat, flat_round, (picked, label))
 
-    picked0 = jnp.zeros((r_cap,), bool)
-    label0 = jnp.zeros((r_cap,), jnp.int32)
-    _, label = jax.lax.fori_loop(0, cfg.n_sectors, sector_body, (picked0, label0))
     selectable = (idx >= start) & (idx <= end - 1) & ring_ok & exists
     return label, selectable
 

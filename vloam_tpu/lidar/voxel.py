@@ -61,11 +61,19 @@ def voxel_downsample(
     # Invalid points hash to the max key so they sort to the tail.
     h = jnp.where(mask, h, jnp.uint32(0xFFFFFFFF))
 
-    order = jnp.argsort(h)
-    hs = h[order]
-    xs = xyz[order]
-    ps = part[order]
-    ms = mask[order]
+    # Multi-operand lax.sort carries the payload through the sort network —
+    # no post-sort gathers (TPU gathers cost ~6 ns per row descriptor; the
+    # sort itself is ~10x cheaper than 4 payload gathers at these sizes).
+    n_extra = 0 if extra is None else extra.shape[1]
+    operands = (h, xyz[:, 0], xyz[:, 1], xyz[:, 2],
+                *(extra[:, j] for j in range(n_extra)),
+                part, mask.astype(jnp.int32))
+    sorted_ops = jax.lax.sort(operands, num_keys=1)
+    hs = sorted_ops[0]
+    xs = jnp.stack(sorted_ops[1:4], axis=1)
+    es = (jnp.stack(sorted_ops[4:4 + n_extra], axis=1) if n_extra else None)
+    ps = sorted_ops[4 + n_extra]
+    ms = sorted_ops[5 + n_extra] > 0
 
     is_start = jnp.concatenate([jnp.ones((1,), bool), hs[1:] != hs[:-1]]) & ms
     seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # -1 until first valid
@@ -73,22 +81,23 @@ def voxel_downsample(
     n_seg = jnp.max(jnp.where(ms, seg_id + 1, 0))
 
     ones = ms.astype(xyz.dtype)
-    counts = jax.ops.segment_sum(ones, seg_id, num_segments=out_cap + 1)[:out_cap]
-    sums = jax.ops.segment_sum(xs * ones[:, None], seg_id, num_segments=out_cap + 1)[:out_cap]
+    # one fused sorted-scatter for counts+coords(+extras): [N, 4+E]
+    payload = jnp.concatenate(
+        [ones[:, None], xs * ones[:, None]]
+        + ([es * ones[:, None]] if es is not None else []), axis=1)
+    sums = jax.ops.segment_sum(payload, seg_id, num_segments=out_cap + 1,
+                               indices_are_sorted=True)[:out_cap]
+    counts = sums[:, 0]
     denom = jnp.maximum(counts, 1.0)[:, None]
-    out_xyz = sums / denom
-
-    out_extra = None
-    if extra is not None:
-        es = extra[order]
-        esums = jax.ops.segment_sum(es * ones[:, None], seg_id, num_segments=out_cap + 1)[:out_cap]
-        out_extra = esums / denom
+    out_xyz = sums[:, 1:4] / denom
+    out_extra = sums[:, 4:4 + n_extra] / denom if n_extra else None
 
     # partition id of the voxel = min over members (constant within a voxel
     # when partition participates in the hash, modulo collisions).
     big = jnp.int32(2**30)
     out_part = jax.ops.segment_min(
-        jnp.where(ms, ps, big), seg_id, num_segments=out_cap + 1
+        jnp.where(ms, ps, big), seg_id, num_segments=out_cap + 1,
+        indices_are_sorted=True,
     )[:out_cap]
     out_part = jnp.where(counts > 0, out_part, 0).astype(jnp.int32)
 

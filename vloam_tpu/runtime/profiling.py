@@ -65,11 +65,14 @@ def fence(tree) -> None:
               if hasattr(x, "dtype")]
     if not leaves:
         return
-    # one fetch is enough when everything hangs off one program; fetching
-    # the smallest leaf keeps the d->h transfer negligible. To be safe with
-    # multi-program trees we fetch the smallest leaf per unique shape class.
+    # One fetch is enough when everything hangs off one program. The fetch
+    # must be a SINGLE element: the host<->device tunnel moves only ~26 MB/s,
+    # so fetching a whole leaf would time the transfer, not the compute. The
+    # [0...] slice is a tiny dependent program; fetching its 4-byte result
+    # waits on the producer.
     smallest = min(leaves, key=lambda x: x.size)
-    np.asarray(jax.device_get(smallest))
+    first = smallest[(0,) * smallest.ndim] if smallest.ndim else smallest
+    np.asarray(jax.device_get(first))
 
 
 @contextlib.contextmanager
