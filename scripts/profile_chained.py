@@ -23,7 +23,7 @@ from vloam_tpu.config import kitti_hdl64
 from vloam_tpu.data import synthetic
 from vloam_tpu.lidar import scan_registration as sr
 from vloam_tpu.lidar.loam_step import LoamState, loam_frame_step
-from vloam_tpu.lidar.mapping import CubeMap, solve_mapping
+from vloam_tpu.lidar.mapping import GridMap, solve_mapping
 from vloam_tpu.lidar.odometry import solve_lo
 from vloam_tpu.lidar.voxel import voxel_downsample
 from vloam_tpu.runtime.profiling import fence
@@ -130,8 +130,8 @@ def main():
     c_xyz, _, _, c_m = vdc(feats1.less_sharp.xyz, feats1.less_sharp.mask)
     s_xyz, _, _, s_m = vds(feats1.less_flat.xyz, feats1.less_flat.mask)
 
-    # thread the cube through the carry (constants would be a 300 MB upload)
-    cube = CubeMap.create(cfg.mapping)
+    # thread the map through the carry (constants would be a huge upload)
+    cube = GridMap.create(cfg.mapping)
 
     def map_step(cb):
         new_cube, q_w, t_w, _ = solve_mapping(
@@ -139,56 +139,6 @@ def main():
         return new_cube
 
     chained_carry("solve_mapping (map carried)", map_step, cube)
-
-    # --- solve_mapping sub-stages ---
-    from vloam_tpu.lidar import mapping as mp
-    from vloam_tpu.lidar.hashgrid import build_cell_grid, cell_grid_knn
-
-    mcfg = cfg.mapping
-    # populate a window once
-    cube2 = map_step(map_step(cube))
-    center = mp._cube_coord(t0v, mcfg.cube_size)
-
-    def gw_step(cb):
-        slots, coords, c_p, c_mk, s_p, s_mk = mp.gather_window(cb, center, mcfg)
-        # touch outputs so nothing is elided; return cb to keep carry shape
-        return jax.tree_util.tree_map(
-            lambda a: a, cb)._replace(corner_cnt=cb.corner_cnt + 0 * jnp.sum(c_mk.astype(jnp.int32)))
-
-    chained_carry("  gather_window", gw_step, cube2)
-
-    slots, coords, c_p, c_mk, s_p, s_mk = jax.jit(
-        lambda cb: mp.gather_window(cb, center, mcfg))(cube2)
-    flat_c, flat_cm = c_p.reshape(-1, 3), c_mk.reshape(-1)
-    flat_s, flat_sm = s_p.reshape(-1, 3), s_mk.reshape(-1)
-
-    chained("  build grid (corner 76.8k)", lambda p, m: build_cell_grid(
-        p, m, mcfg.grid_cell, cap=mcfg.grid_corner_cap), flat_c, flat_cm)
-    chained("  build grid (surf 307k)", lambda p, m: build_cell_grid(
-        p, m, mcfg.grid_cell, cap=mcfg.grid_surf_cap), flat_s, flat_sm)
-
-    grid_c = jax.jit(lambda p, m: build_cell_grid(
-        p, m, mcfg.grid_cell, cap=mcfg.grid_corner_cap))(flat_c, flat_cm)
-    grid_s = jax.jit(lambda p, m: build_cell_grid(
-        p, m, mcfg.grid_cell, cap=mcfg.grid_surf_cap))(flat_s, flat_sm)
-
-    chained("  grid knn (4096 corner q)", lambda q: cell_grid_knn(
-        grid_c, q, k=mcfg.knn)[0], c_xyz)
-    chained("  grid knn (16384 surf q)", lambda q: cell_grid_knn(
-        grid_s, q, k=mcfg.knn)[0], s_xyz)
-
-    x0 = jnp.concatenate([q0, t0v])
-    chained("  corner terms (assoc+eig)", lambda cx: mp._corner_terms(
-        cx, c_m, flat_c, flat_cm, x0, mcfg, grid_c)[0], c_xyz)
-    chained("  surf terms (assoc+planefit)", lambda sx: mp._surf_terms(
-        sx, s_m, flat_s, flat_sm, x0, mcfg, grid_s)[0], s_xyz)
-
-    def insert_step(cb):
-        return mp._insert_and_filter(
-            cb, slots, coords, c_p, c_mk, s_p, s_mk,
-            c_xyz, c_m, s_xyz, s_m, q0, t0v, center, mcfg)
-
-    chained_carry("  insert_and_filter", insert_step, cube2)
 
     st = LoamState.create(cfg)
 

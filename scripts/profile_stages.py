@@ -19,7 +19,7 @@ from vloam_tpu.config import kitti_hdl64
 from vloam_tpu.data import synthetic
 from vloam_tpu.lidar import scan_registration as sr
 from vloam_tpu.lidar.loam_step import LoamState, loam_frame_step
-from vloam_tpu.lidar.mapping import solve_mapping, CubeMap
+from vloam_tpu.lidar.mapping import solve_mapping, GridMap
 from vloam_tpu.lidar.odometry import solve_lo
 from vloam_tpu.lidar.voxel import voxel_downsample
 from vloam_tpu.runtime.profiling import fence
@@ -70,7 +70,7 @@ def main():
 
     # empty map: the `enough` cond skips the GN solve -> insert-only cost;
     # then populate and time the full assoc+GN+insert path
-    cube = CubeMap.create(cfg.mapping)
+    cube = GridMap.create(cfg.mapping)
     smap = jax.jit(lambda cb, cx, cm, sx, smk: solve_mapping(
         cb, cx, cm, sx, smk, q0, t0v, cfg.mapping))
     (cube, _, _, _), _ = timed("solve_mapping (empty: insert only)", smap,

@@ -38,16 +38,18 @@ def test_bucket_nms_caps_counts():
 
 def test_export_map_points():
     from vloam_tpu.config import tiny_test_profile
-    from vloam_tpu.lidar.mapping import CubeMap, export_map_points
+    from vloam_tpu.lidar.mapping import GridMap, export_map_points
 
     cfg = tiny_test_profile().mapping
-    cm = CubeMap.create(cfg)
-    cm = cm._replace(
-        corner_pts=cm.corner_pts.at[3, :5].set(1.5),
-        corner_cnt=cm.corner_cnt.at[3].set(5),
-        surf_pts=cm.surf_pts.at[7, :9].set(2.5),
-        surf_cnt=cm.surf_cnt.at[7].set(9),
+    gm = GridMap.create(cfg)
+    gm = gm._replace(
+        corner=gm.corner._replace(
+            pts=gm.corner.pts.at[3, :5].set(1.5),
+            cnt=gm.corner.cnt.at[3].set(5)),
+        surf=gm.surf._replace(
+            pts=gm.surf.pts.at[7, :9].set(2.5),
+            cnt=gm.surf.cnt.at[7].set(9)),
     )
-    corner, surf = export_map_points(cm)
+    corner, surf = export_map_points(gm)
     assert corner.shape == (5, 3) and np.allclose(corner, 1.5)
     assert surf.shape == (9, 3) and np.allclose(surf, 2.5)

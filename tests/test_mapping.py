@@ -6,7 +6,9 @@ from vloam_tpu.config import (LaserMappingConfig, LaserOdometryConfig,
                               LidarProfile, ScanRegistrationConfig)
 from vloam_tpu.data import synthetic
 from vloam_tpu.lidar import scan_registration as sr
-from vloam_tpu.lidar.mapping import CubeMap, LaserMapping, _cube_coord, _slot_of
+from vloam_tpu.lidar.gridmap import (SENTINEL, grid_create, grid_evict,
+                                     grid_insert, grid_knn)
+from vloam_tpu.lidar.mapping import LaserMapping, _cube_coord
 from vloam_tpu.lidar.odometry import LaserOdometry
 
 PROFILE = LidarProfile(name="t64", n_scans=64, minimum_range=2.0,
@@ -14,7 +16,8 @@ PROFILE = LidarProfile(name="t64", n_scans=64, minimum_range=2.0,
 SR_CFG = ScanRegistrationConfig(sharp_cap=1024, less_sharp_cap=8192,
                                 flat_cap=2048, less_flat_cap=16384)
 MAP_CFG = LaserMappingConfig(cube_width=11, cube_height=11, cube_depth=5,
-                             cube_corner_capacity=512, cube_surf_capacity=1024,
+                             map_n_buckets=1 << 14,
+                             corner_bucket_cap=16, surf_bucket_cap=16,
                              corner_stack_cap=2048, surf_stack_cap=4096)
 
 
@@ -33,18 +36,54 @@ def test_cube_coord_matches_reference_semantics():
     np.testing.assert_array_equal(c[:, 0], [0, 0, 1, -1, 0, 2])
 
 
-def test_slot_roundtrip():
-    cfg = MAP_CFG
-    # distinct cubes within one window period get distinct slots
-    coords = jnp.asarray([[0, 0, 0], [10, 10, 4], [5, 3, 2], [2, -4, 1]])
-    slots = np.asarray(_slot_of(coords, cfg))
-    assert len(set(slots.tolist())) == 4
-    assert (slots >= 0).all() and (slots < 11 * 11 * 5).all()
-    # cubes a full period apart alias to the same slot (circular buffer);
-    # slot_coord disambiguates them
-    alias = jnp.asarray([[0, 0, 0], [11, 0, 0], [-1, -1, -1], [10, 10, 4]])
-    s = np.asarray(_slot_of(alias, cfg))
-    assert s[0] == s[1] and s[2] == s[3]
+def test_grid_insert_dedups_by_voxel():
+    g = grid_create(1 << 12, 8)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-20, 20, (256, 3)).astype(np.float32)
+    g = grid_insert(g, jnp.asarray(pts), jnp.ones(256, bool), 2.0, 0.4)
+    n1 = int(jnp.sum(g.cnt))
+    assert n1 > 200  # nearly all inserted (random points rarely share voxels)
+    # re-inserting the same points must be a no-op (every voxel occupied)
+    g2 = grid_insert(g, jnp.asarray(pts), jnp.ones(256, bool), 2.0, 0.4)
+    assert int(jnp.sum(g2.cnt)) == n1
+    # a jittered copy within the same voxels is also deduped
+    g3 = grid_insert(g, jnp.asarray(pts + 0.01), jnp.ones(256, bool), 2.0, 0.4)
+    assert int(jnp.sum(g3.cnt)) <= n1 + 50  # only boundary-straddlers add
+
+
+def test_grid_knn_exact_within_radius():
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-5, 5, (2000, 3)).astype(np.float32)
+    g = grid_create(1 << 12, 32)
+    g = grid_insert(g, jnp.asarray(pts), jnp.ones(len(pts), bool), 2.0, 0.05)
+    queries = rng.uniform(-4, 4, (128, 3)).astype(np.float32)
+    d, near = grid_knn(g, jnp.asarray(queries), 2.0, k=5)
+    d = np.asarray(d)
+    # brute-force reference
+    dd = ((queries[:, None, :] - pts[None]) ** 2).sum(-1)
+    ref = np.sort(dd, axis=1)[:, :5]
+    # wherever the true k-th neighbor is within radius^2 = 1, exact match
+    inside = ref[:, 4] < 1.0
+    assert inside.sum() > 20
+    np.testing.assert_allclose(d[inside], ref[inside], rtol=1e-4, atol=1e-5)
+
+
+def test_grid_evict_keeps_box_and_compacts():
+    pts = np.array([[0.5, 0.5, 0.5], [30.0, 0, 0], [0, 40.0, 0],
+                    [1.5, 1.5, 1.5], [-2.0, 3.0, 0.0]], np.float32)
+    g = grid_create(1 << 10, 4)
+    g = grid_insert(g, jnp.asarray(pts), jnp.ones(5, bool), 2.0, 0.4)
+    g2 = grid_evict(g, jnp.zeros(3), jnp.asarray([10.0, 10.0, 10.0]))
+    assert int(jnp.sum(g2.cnt)) == 3
+    live = np.asarray(g2.pts.reshape(-1, 3))
+    live = live[live[:, 0] < SENTINEL * 0.5]
+    assert (np.abs(live) <= 10.0).all()
+    # slabs stay front-compacted: entries beyond cnt are sentinels
+    cnts = np.asarray(g2.cnt)
+    slab = np.asarray(g2.pts)
+    for b in np.nonzero(cnts)[0]:
+        assert (slab[b, cnts[b]:, 0] > SENTINEL * 0.5).all()
+        assert (slab[b, :cnts[b], 0] < SENTINEL * 0.5).all()
 
 
 def test_mapping_improves_or_tracks_lo():
@@ -68,9 +107,9 @@ def test_mapping_improves_or_tracks_lo():
     assert mo.last_stats["n_map_surf"] > 50
     assert bool(mo.last_stats["solved"])
     assert mo_err < max(2.0 * lo_err, 0.3), (mo_err, lo_err)
-    # map cubes should be populated around the vehicle
-    assert int(jnp.sum(mo.map.corner_cnt)) > 100
-    assert int(jnp.sum(mo.map.surf_cnt)) > 500
+    # the grid map should be populated around the vehicle
+    assert int(jnp.sum(mo.map.corner.cnt)) > 100
+    assert int(jnp.sum(mo.map.surf.cnt)) > 500
 
 
 def test_mapping_solve_corrects_perturbed_prediction():

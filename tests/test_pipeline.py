@@ -16,8 +16,8 @@ def small_cfg(**kw):
         scanreg=ScanRegistrationConfig(sharp_cap=1024, less_sharp_cap=8192,
                                        flat_cap=2048, less_flat_cap=16384),
         mapping=LaserMappingConfig(cube_width=11, cube_height=11, cube_depth=5,
-                                   cube_corner_capacity=512,
-                                   cube_surf_capacity=1024,
+                                   map_n_buckets=1 << 14,
+                                   corner_bucket_cap=16, surf_bucket_cap=16,
                                    corner_stack_cap=2048, surf_stack_cap=4096),
         vo=VisualOdometryConfig(img_width=320, img_height=96,
                                 max_keypoints=256, max_matches=512,

@@ -45,19 +45,20 @@ def test_checkpoint_roundtrip(tmp_path):
     st = st._replace(t_w=jnp.asarray([1.0, 2.0, 3.0]),
                      frame_idx=jnp.int32(7))
     st = st._replace(cube=st.cube._replace(
-        corner_cnt=st.cube.corner_cnt.at[5].set(11)))
+        corner=st.cube.corner._replace(
+            cnt=st.cube.corner.cnt.at[5].set(11))))
     p = str(tmp_path / "state.npz")
     save_state(p, st)
     st2 = load_state(p, LoamState.create(cfg))
     np.testing.assert_allclose(np.asarray(st2.t_w), [1, 2, 3])
     assert int(st2.frame_idx) == 7
-    assert int(st2.cube.corner_cnt[5]) == 11
+    assert int(st2.cube.corner.cnt[5]) == 11
     # structural mismatch is rejected
     import pytest
 
     bad_cfg = tiny_test_profile()
     from dataclasses import replace
 
-    bad = replace(bad_cfg, mapping=replace(bad_cfg.mapping, cube_width=5))
+    bad = replace(bad_cfg, mapping=replace(bad_cfg.mapping, map_n_buckets=1 << 10))
     with pytest.raises((KeyError, ValueError)):
         load_state(p, LoamState.create(bad))

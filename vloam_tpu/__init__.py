@@ -6,7 +6,8 @@ Ceres/PCL/OpenCV) as an idiomatic JAX/XLA/Pallas framework:
 - LOAM scan registration as fixed-shape vectorized kernels,
 - KD-tree correspondence search as tiled MXU brute-force / grid top-k,
 - Ceres auto-diff LM as batched Huber-IRLS Levenberg-Marquardt in jit,
-- the voxel-cube map as a circular-buffer tensor map,
+- the voxel-cube map + KD-tree + per-cube voxel filter as ONE incremental
+  hashed cell-slab grid (the map's storage layout is the k-NN index),
 - visual odometry (DEMO residuals) with JAX feature detection + LK flow,
 - multi-device scaling via sharded normal equations over jax.sharding meshes.
 """

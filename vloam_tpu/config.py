@@ -89,27 +89,21 @@ class LaserMappingConfig:
     edge_half_length: float = 0.1  # synthetic edge points (":510-511")
     min_corner_map_points: int = 10  # ":448"
     min_surf_map_points: int = 50
-    # Static caps. The per-cube capacities bound map density; too small
-    # starves the map and degrades MO accuracy (measured: surf capacity
-    # 1024 -> 4096 improves synthetic-drive MO ATE from 1.19 m to 0.23 m).
-    cube_corner_capacity: int = 1024
-    cube_surf_capacity: int = 4096
+    # Static caps for the per-frame voxel-downsampled stacks (:432-440).
     corner_stack_cap: int = 4096
     surf_stack_cap: int = 16384
     knn: int = 5
-    # Hashed cell-slab grid NN for scan-to-map association (default): ~500x
-    # less distance work than the tiled brute force, with a slab memory
-    # layout that keeps TPU gather descriptor counts low (true-fenced
-    # measurement: 3x+ faster mapping solve; the earlier "brute force wins"
-    # finding came from a broken block_until_ready fence on this platform).
-    use_hash_grid: bool = True
-    grid_cell: float = 1.0
-    grid_corner_cap: int = 24  # >= cell occupancy at 0.4 m map resolution
-    grid_surf_cap: int = 16  # >= cell occupancy at 0.8 m map resolution
-    # Gather window around the center cube (reference ":404-420": 5 x 5 x 3).
-    gather_w: int = 5
-    gather_h: int = 5
-    gather_d: int = 3
+    # Incremental hashed cell-slab map (gridmap.py): the map's storage IS
+    # the k-NN structure; nothing is rebuilt per frame. Cells must be
+    # integer multiples of the matching resolution (voxel dedup at insert)
+    # and >= 2 * sqrt(neighbor_radius_sq) (8-probe query exactness).
+    # Bucket capacities bound per-cell density; overfull buckets drop new
+    # points, as the reference drops points beyond its cube bounds.
+    map_n_buckets: int = 1 << 17
+    corner_cell: float = 2.0
+    surf_cell: float = 2.4
+    corner_bucket_cap: int = 32
+    surf_bucket_cap: int = 16
 
 
 @dataclass(frozen=True)
@@ -176,7 +170,8 @@ def tiny_test_profile() -> PipelineConfig:
         scanreg=ScanRegistrationConfig(sharp_cap=256, less_sharp_cap=2048,
                                        flat_cap=512, less_flat_cap=4096),
         mapping=LaserMappingConfig(cube_width=11, cube_height=11, cube_depth=5,
-                                   cube_corner_capacity=256, cube_surf_capacity=512,
+                                   map_n_buckets=1 << 13,
+                                   corner_bucket_cap=16, surf_bucket_cap=16,
                                    corner_stack_cap=1024, surf_stack_cap=2048),
         vo=VisualOdometryConfig(img_width=320, img_height=96, max_keypoints=256,
                                 max_matches=512),

@@ -1,0 +1,159 @@
+"""Incremental hashed cell-slab map (the TPU replacement for the reference's
+21x21x11 cube array + per-cube pcl::VoxelGrid + KdTreeFLANN, reference
+src/lidar_odometry_mapping/src/laser_mapping.cpp:207-440,477,543,688-702).
+
+The key idea: the map's STORAGE LAYOUT is the k-NN acceleration structure,
+maintained incrementally — nothing is rebuilt per frame.
+
+- Points live in dense bucket slabs `[n_buckets, cap, 3]`; a point's bucket
+  is a hash of its `cell`-sized grid cell. Slabs are SENTINEL-padded so
+  queries need no mask gathers (sentinel distances ~1e12 lose every
+  comparison and fail the 1 m acceptance gate naturally).
+- INSERT (per frame, reference :638-686) sorts only the ~4-16k NEW stack
+  points by bucket (not the ~300k-point neighborhood), drops any point whose
+  map-resolution voxel is already occupied in its bucket (first observation
+  wins), and scatters the rest after the buckets' current fill. This
+  subsumes the reference's per-cube voxel re-filter (:688-702): the map
+  holds at most one point per voxel BY CONSTRUCTION. Difference vs pcl
+  VoxelGrid: the kept point is the first-observed sample, not the running
+  centroid — below the association noise floor at 0.4/0.8 m resolutions.
+- QUERY (the KdTreeFLANN 5-NN at :477,:543) probes the 8 cells that can
+  contain any neighbor within radius cell/2 (per axis, the query's own cell
+  plus the nearer neighbor cell), gathers 8 slab descriptors per query, and
+  top-k's the <=8*cap candidates. With cell >= 2 * search radius this is
+  EXACT within the radius gate. 8 slab gathers beat the 27 of a unit-cell
+  grid: TPU gathers cost ~6 ns per descriptor regardless of row width.
+- EVICT (the reference's cube-shift recentering, :207-402) runs only when
+  the pose crosses a cube boundary: one elementwise pass marks points
+  outside the reference's window extent (w/2, h/2, d/2 cubes from center),
+  and a per-bucket stable compaction keeps slabs dense. O(map) but
+  amortized over ~50 m of travel.
+
+Hash collisions only ADD candidates (two far cells sharing a bucket), never
+remove them; a bucket shared by k live cells effectively splits its
+capacity k ways (points beyond capacity are dropped, as the reference drops
+points beyond its cube bounds).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# far-away but finite: squared distances stay ~1e12 (no inf-inf NaN traps)
+SENTINEL = 1.0e6
+
+
+def _hash_cell(ix, iy, iz, n_buckets):
+    u = jnp.uint32
+    h = (ix.astype(u) * u(73856093)) + (iy.astype(u) * u(19349669)) + (
+        iz.astype(u) * u(83492791))
+    h = h ^ (h >> u(16))
+    h = h * u(0x85EBCA6B)
+    h = h ^ (h >> u(13))
+    return (h & u(n_buckets - 1)).astype(jnp.int32)
+
+
+class FeatureGrid(NamedTuple):
+    """One feature class's map: SENTINEL-padded bucket slabs + fill counts."""
+
+    pts: jnp.ndarray  # [n_buckets, cap, 3] f32
+    cnt: jnp.ndarray  # [n_buckets] int32
+
+
+def grid_create(n_buckets: int, cap: int) -> FeatureGrid:
+    return FeatureGrid(
+        pts=jnp.full((n_buckets, cap, 3), SENTINEL, jnp.float32),
+        cnt=jnp.zeros((n_buckets,), jnp.int32),
+    )
+
+
+def _bucket_of(p: jnp.ndarray, cell: float, n_buckets: int) -> jnp.ndarray:
+    c = jnp.floor(p / cell).astype(jnp.int32)
+    return _hash_cell(c[..., 0], c[..., 1], c[..., 2], n_buckets)
+
+
+@partial(jax.jit, static_argnames=("cell", "res"))
+def grid_insert(g: FeatureGrid, p: jnp.ndarray, mask: jnp.ndarray,
+                cell: float, res: float) -> FeatureGrid:
+    """Insert world points `p [B,3]` (mask [B]) with voxel dedup at `res`.
+
+    `cell` must be an integer multiple of `res` (so a voxel never straddles
+    a cell boundary and the per-bucket dup check is complete)."""
+    nb, cap = g.pts.shape[0], g.pts.shape[1]
+    B = p.shape[0]
+    b = _bucket_of(p, cell, nb)  # [B]
+    v = jnp.floor(p / res).astype(jnp.int32)  # [B, 3]
+    slab = g.pts[b]  # [B, cap, 3]
+    sv = jnp.floor(slab / res).astype(jnp.int32)
+    dup = jnp.any(jnp.all(sv == v[:, None, :], axis=-1), axis=-1)
+    keep = mask & ~dup
+    key = jnp.where(keep, b, nb)
+    order = jnp.argsort(key)  # stable
+    ks = key[order]
+    counts = jnp.bincount(ks, length=nb + 1)[:nb]
+    starts = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(counts).astype(jnp.int32)[:-1],
+    ])
+    rank = jnp.arange(B, dtype=jnp.int32) - starts[jnp.minimum(ks, nb - 1)]
+    pos = g.cnt[jnp.minimum(ks, nb - 1)] + rank
+    ok = (ks < nb) & (pos < cap)
+    dest_b = jnp.where(ok, ks, nb)  # nb = out of bounds -> dropped
+    pos = jnp.clip(pos, 0, cap - 1)
+    pts = g.pts.at[dest_b, pos].set(p[order], mode="drop")
+    added = jnp.bincount(jnp.where(ok, ks, nb), length=nb + 1)[:nb]
+    return FeatureGrid(pts=pts, cnt=g.cnt + added.astype(jnp.int32))
+
+
+@jax.jit
+def grid_evict(g: FeatureGrid, center: jnp.ndarray,
+               radius: jnp.ndarray) -> FeatureGrid:
+    """Drop points outside the box center +- radius (both [3], meters) and
+    compact each bucket (stable, keeps insertion order)."""
+    live = g.pts[..., 0] < SENTINEL * 0.5
+    inside = jnp.all(jnp.abs(g.pts - center) <= radius, axis=-1)
+    keep = live & inside
+    idx = jnp.argsort(~keep, axis=1)  # stable: kept entries first
+    pts = jnp.take_along_axis(g.pts, idx[..., None], axis=1)
+    keep_s = jnp.take_along_axis(keep, idx, axis=1)
+    pts = jnp.where(keep_s[..., None], pts, SENTINEL)
+    return FeatureGrid(pts=pts, cnt=jnp.sum(keep, axis=1).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("cell", "k"))
+def grid_knn(g: FeatureGrid, queries: jnp.ndarray, cell: float, k: int = 5):
+    """k-NN among points within the 8-cell probe — exact for true neighbors
+    closer than cell/2. Returns (d_sq [Q,k] ascending, near [Q,k,3]); slots
+    beyond the candidate count return sentinel points with d_sq ~1e12."""
+    nb, cap = g.pts.shape[0], g.pts.shape[1]
+    q = queries.shape[0]
+    s = queries / cell
+    c = jnp.floor(s).astype(jnp.int32)
+    off = jnp.where(s - c < 0.5, -1, 1).astype(jnp.int32)  # [Q, 3]
+    hs = []
+    for sx in (0, 1):
+        for sy in (0, 1):
+            for sz in (0, 1):
+                hs.append(_hash_cell(c[:, 0] + sx * off[:, 0],
+                                     c[:, 1] + sy * off[:, 1],
+                                     c[:, 2] + sz * off[:, 2], nb))
+    buckets = jnp.stack(hs, axis=1)  # [Q, 8]
+    cand = g.pts[buckets].reshape(q, 8 * cap, 3)
+    d = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
+    nd, ni = jax.lax.top_k(-d, k)
+    near = jnp.take_along_axis(cand, ni[:, :, None], axis=1)
+    return -nd, near
+
+
+def grid_export(g: FeatureGrid, max_points: int | None = None):
+    """Download live points as a numpy [M, 3] array (one masked download)."""
+    import numpy as np
+
+    pts = np.asarray(g.pts.reshape(-1)).reshape(-1, 3)
+    live = pts[:, 0] < SENTINEL * 0.5
+    out = pts[live]
+    return out[:max_points] if max_points is not None else out

@@ -3,7 +3,7 @@
 Motivation (measured on the target TPU): the per-stage host-driven pipeline
 costs ~30 ms per device->host download at ~1 ms of actual device compute per
 frame — the frame rate is set entirely by round trips. This module keeps
-ALL recurrent state (last feature clouds, f2f/world poses, the cube map, the
+ALL recurrent state (last feature clouds, f2f/world poses, the grid map, the
 odom->map offset) on device as a LoamState pytree, advances whole chunks of
 frames with lax.scan, and returns one small packed output row per frame that
 the caller downloads once per sequence.
@@ -24,7 +24,7 @@ import numpy as np
 
 from ..config import PipelineConfig
 from ..geometry import so3
-from .mapping import CubeMap, solve_mapping
+from .mapping import GridMap, solve_mapping
 from .odometry import solve_lo
 from .scan_registration import register_scan
 from .types import FeatureCloud
@@ -40,7 +40,7 @@ class LoamState(NamedTuple):
     t_f2f: jnp.ndarray  # [3]
     q_w: jnp.ndarray  # [4] LO world pose (odom frame)
     t_w: jnp.ndarray  # [3]
-    cube: CubeMap
+    cube: GridMap
     q_wmap_wodom: jnp.ndarray  # [4]
     t_wmap_wodom: jnp.ndarray  # [3]
     frame_idx: jnp.ndarray  # int32
@@ -55,7 +55,7 @@ class LoamState(NamedTuple):
             t_f2f=jnp.zeros(3, jnp.float32),
             q_w=jnp.asarray([0, 0, 0, 1], jnp.float32),
             t_w=jnp.zeros(3, jnp.float32),
-            cube=CubeMap.create(cfg.mapping),
+            cube=GridMap.create(cfg.mapping),
             q_wmap_wodom=jnp.asarray([0, 0, 0, 1], jnp.float32),
             t_wmap_wodom=jnp.zeros(3, jnp.float32),
             frame_idx=jnp.int32(0),

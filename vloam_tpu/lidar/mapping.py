@@ -2,15 +2,18 @@
 
 Reimplements reference src/lidar_odometry_mapping/src/laser_mapping.cpp:
 
-- the 21x21x11 array of 50 m cubes with shift-recentering (:207-402) becomes
-  a **circular-buffer tensor map**: fixed [n_cubes, capacity, 3] point slabs
-  addressed by (world_cube mod dims); each slot remembers which world cube it
-  holds and is lazily cleared when a new cube claims it — recentering is O(1)
-  and jit-friendly instead of six nested shift loops,
-- the 5x5x3 neighbor gather (:404-428) is a static window gather,
-- pcl VoxelGrid on the frame stacks (:432-440) and on touched cubes
-  (:688-702) uses voxel.voxel_downsample (vmapped per cube),
-- KdTreeFLANN 5-NN (:477,:543) is the tiled MXU brute force in knn.py,
+- the 21x21x11 array of 50 m cubes with shift-recentering (:207-402), the
+  per-cube pcl::VoxelGrid re-filter (:688-702) and the KdTreeFLANN 5-NN
+  (:477,:543) all collapse into ONE structure: the incremental hashed
+  cell-slab map in gridmap.py. The map's storage layout is the k-NN index,
+  maintained by O(frame)-cost inserts with voxel dedup; recentering is an
+  eviction pass that runs only when the pose crosses a 50 m cube boundary.
+  The reference's 5x5x3 neighbor-cube gather (:404-428) has no analogue:
+  queries probe exactly the 8 cells that can hold a <1 m neighbor,
+- pcl VoxelGrid on the frame stacks (:432-440) stays voxel.voxel_downsample,
+- the "enough map" gate (:448 corner>10 && surf>50) uses the grid's global
+  live counts (the window restriction is redundant: association is gated at
+  1 m anyway, and the map only extends where the vehicle has been),
 - the line test covariance eigendecomposition (:493-516) uses the
   closed-form 3x3 eigensolver, the plane fit QR solve (:545-573) a 3x3
   normal-equation solve,
@@ -34,32 +37,27 @@ from ..config import LaserMappingConfig
 from ..geometry import so3
 from ..solver.eig3 import eigvals_sym3, principal_eigenvector
 from ..solver.lm import ResidualFamily, lm_solve
-from .knn import masked_knn
+from .gridmap import (FeatureGrid, grid_create, grid_evict, grid_export,
+                      grid_insert, grid_knn)
 from .types import FeatureCloud
 from .voxel import voxel_downsample
 
 _EPS = 1e-9
-_INVALID_COORD = jnp.int32(-(2**30))
 
 
-class CubeMap(NamedTuple):
-    """Circular-buffer voxel-cube map."""
+class GridMap(NamedTuple):
+    """The full map state: one grid per feature class + eviction center."""
 
-    corner_pts: jnp.ndarray  # [NC, cap_c, 3]
-    corner_cnt: jnp.ndarray  # [NC]
-    surf_pts: jnp.ndarray  # [NC, cap_s, 3]
-    surf_cnt: jnp.ndarray  # [NC]
-    slot_coord: jnp.ndarray  # [NC, 3] world cube coordinate held by each slot
+    corner: FeatureGrid
+    surf: FeatureGrid
+    center: jnp.ndarray  # [3] int32 cube coordinate of the last eviction
 
     @staticmethod
-    def create(cfg: LaserMappingConfig) -> "CubeMap":
-        nc = cfg.cube_width * cfg.cube_height * cfg.cube_depth
-        return CubeMap(
-            corner_pts=jnp.zeros((nc, cfg.cube_corner_capacity, 3), jnp.float32),
-            corner_cnt=jnp.zeros((nc,), jnp.int32),
-            surf_pts=jnp.zeros((nc, cfg.cube_surf_capacity, 3), jnp.float32),
-            surf_cnt=jnp.zeros((nc,), jnp.int32),
-            slot_coord=jnp.full((nc, 3), _INVALID_COORD),
+    def create(cfg: LaserMappingConfig) -> "GridMap":
+        return GridMap(
+            corner=grid_create(cfg.map_n_buckets, cfg.corner_bucket_cap),
+            surf=grid_create(cfg.map_n_buckets, cfg.surf_bucket_cap),
+            center=jnp.zeros((3,), jnp.int32),
         )
 
 
@@ -69,61 +67,11 @@ def _cube_coord(p: jnp.ndarray, cube_size: float) -> jnp.ndarray:
     return jnp.floor((p + cube_size / 2.0) / cube_size).astype(jnp.int32)
 
 
-def _slot_of(coord: jnp.ndarray, cfg: LaserMappingConfig) -> jnp.ndarray:
-    W, H, D = cfg.cube_width, cfg.cube_height, cfg.cube_depth
-    i = jnp.mod(coord[..., 0], W)
-    j = jnp.mod(coord[..., 1], H)
-    k = jnp.mod(coord[..., 2], D)
-    return i + W * j + W * H * k
-
-
-def _window_offsets(cfg: LaserMappingConfig) -> np.ndarray:
-    """The 5x5x3 neighbor window (reference :404-420)."""
-    rw, rh, rd = cfg.gather_w // 2, cfg.gather_h // 2, cfg.gather_d // 2
-    offs = [
-        (di, dj, dk)
-        for dk in range(-rd, rd + 1)
-        for dj in range(-rh, rh + 1)
-        for di in range(-rw, rw + 1)
-    ]
-    return np.asarray(offs, np.int32)
-
-
-@partial(jax.jit, static_argnames=("cfg",))
-def gather_window(cube_map: CubeMap, center_coord: jnp.ndarray, cfg: LaserMappingConfig):
-    """Collect the neighbor cubes' points around the center cube.
-    Returns (slots [75], coords [75,3], corner window [75,cap,3] + mask,
-    surf window + mask)."""
-    offs = jnp.asarray(_window_offsets(cfg))
-    coords = center_coord[None, :] + offs  # [75, 3]
-    slots = _slot_of(coords, cfg)
-    valid_cube = jnp.all(cube_map.slot_coord[slots] == coords, axis=-1)
-    c_pts = cube_map.corner_pts[slots]
-    c_cnt = jnp.where(valid_cube, cube_map.corner_cnt[slots], 0)
-    s_pts = cube_map.surf_pts[slots]
-    s_cnt = jnp.where(valid_cube, cube_map.surf_cnt[slots], 0)
-    c_mask = jnp.arange(c_pts.shape[1])[None, :] < c_cnt[:, None]
-    s_mask = jnp.arange(s_pts.shape[1])[None, :] < s_cnt[:, None]
-    return slots, coords, c_pts, c_mask, s_pts, s_mask
-
-
-def _map_knn(p_w, map_pts, map_mask, grid, cfg):
-    """5-NN in the gathered map -> (d_sq [B,k], near [B,k,3]): cell-slab
-    grid probe when enabled (exact within the 1 m acceptance radius; the
-    default — measured ~20x cheaper on TPU), tiled brute force otherwise."""
-    if grid is not None:
-        from .hashgrid import cell_grid_knn
-
-        return cell_grid_knn(grid, p_w, k=cfg.knn)
-    d, idx = masked_knn(p_w, map_pts, map_mask, k=cfg.knn)
-    return d, map_pts[idx]
-
-
-def _corner_terms(stack_xyz, stack_mask, map_pts, map_mask, x, cfg, grid=None):
+def _corner_terms(stack_xyz, stack_mask, grid: FeatureGrid, x, cfg):
     """Line features from 5-NN covariance (reference :472-517)."""
     q, t = x[:4], x[4:]
     p_w = so3.quat_rotate(q, stack_xyz) + t
-    d, near = _map_knn(p_w, map_pts, map_mask, grid, cfg)
+    d, near = grid_knn(grid, p_w, cfg.corner_cell, k=cfg.knn)
     ok = stack_mask & (d[:, cfg.knn - 1] < cfg.neighbor_radius_sq)
     center = jnp.mean(near, axis=1)
     dm = near - center[:, None, :]
@@ -138,11 +86,11 @@ def _corner_terms(stack_xyz, stack_mask, map_pts, map_mask, x, cfg, grid=None):
     return a, b, de, valid
 
 
-def _surf_terms(stack_xyz, stack_mask, map_pts, map_mask, x, cfg, grid=None):
+def _surf_terms(stack_xyz, stack_mask, grid: FeatureGrid, x, cfg):
     """Plane features from 5-NN LS fit A n = -1 (reference :538-581)."""
     q, t = x[:4], x[4:]
     p_w = so3.quat_rotate(q, stack_xyz) + t
-    d, near = _map_knn(p_w, map_pts, map_mask, grid, cfg)
+    d, near = grid_knn(grid, p_w, cfg.surf_cell, k=cfg.knn)
     ok = stack_mask & (d[:, cfg.knn - 1] < cfg.neighbor_radius_sq)
     AtA = jnp.einsum("bki,bkj->bij", near, near)
     Atb = -jnp.sum(near, axis=1)  # A^T * (-1)
@@ -176,7 +124,7 @@ def _retract(x, delta):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def solve_mapping(
-    cube_map: CubeMap,
+    grid_map: GridMap,
     corner_stack_xyz: jnp.ndarray,
     corner_stack_mask: jnp.ndarray,
     surf_stack_xyz: jnp.ndarray,
@@ -186,43 +134,19 @@ def solve_mapping(
     cfg: LaserMappingConfig,
 ):
     """One mapping solve + map update. Returns (new_map, q_w, t_w, stats)."""
-    center = _cube_coord(t_pred, cfg.cube_size)
-    slots, coords, c_pts, c_mask, s_pts, s_mask = gather_window(cube_map, center, cfg)
-    nw = slots.shape[0]
-    cap_c, cap_s = c_pts.shape[1], s_pts.shape[1]
-    flat_c = c_pts.reshape(-1, 3)
-    flat_cm = c_mask.reshape(-1)
-    flat_s = s_pts.reshape(-1, 3)
-    flat_sm = s_mask.reshape(-1)
-    n_map_corner = jnp.sum(flat_cm.astype(jnp.int32))
-    n_map_surf = jnp.sum(flat_sm.astype(jnp.int32))
-
+    n_map_corner = jnp.sum(grid_map.corner.cnt)
+    n_map_surf = jnp.sum(grid_map.surf.cnt)
     x0 = jnp.concatenate([q_pred, t_pred]).astype(jnp.float32)
-
     enough = (n_map_corner > cfg.min_corner_map_points) & (
         n_map_surf > cfg.min_surf_map_points
     )
 
-    if cfg.use_hash_grid:
-        from .hashgrid import build_cell_grid
-
-        grid_c = build_cell_grid(flat_c, flat_cm, cfg.grid_cell,
-                                 cap=cfg.grid_corner_cap)
-        grid_s = build_cell_grid(flat_s, flat_sm, cfg.grid_cell,
-                                 cap=cfg.grid_surf_cap)
-    else:
-        grid_c = grid_s = None
-
     def do_solve(x):
         for _ in range(cfg.outer_rounds):
             a, b, de, v_c = _corner_terms(
-                corner_stack_xyz, corner_stack_mask, flat_c, flat_cm, x, cfg,
-                grid_c,
-            )
+                corner_stack_xyz, corner_stack_mask, grid_map.corner, x, cfg)
             n_hat, nood, v_s = _surf_terms(
-                surf_stack_xyz, surf_stack_mask, flat_s, flat_sm, x, cfg,
-                grid_s,
-            )
+                surf_stack_xyz, surf_stack_mask, grid_map.surf, x, cfg)
 
             def make_families(xx):
                 def edge_fn(delta):
@@ -250,119 +174,43 @@ def solve_mapping(
     x = jax.lax.cond(enough, do_solve, lambda x: x, x0)
     q_w, t_w = x[:4], x[4:]
 
-    new_map = _insert_and_filter(
-        cube_map, slots, coords, c_pts, c_mask, s_pts, s_mask,
-        corner_stack_xyz, corner_stack_mask, surf_stack_xyz, surf_stack_mask,
-        q_w, t_w, center, cfg,
-    )
+    # insert the refined-pose frame points (reference :638-686); the per-cube
+    # re-filter (:688-702) is subsumed by voxel dedup at insert
+    pw_c = so3.quat_rotate(q_w, corner_stack_xyz) + t_w
+    corner = grid_insert(grid_map.corner, pw_c, corner_stack_mask,
+                         cfg.corner_cell, cfg.line_resolution)
+    pw_s = so3.quat_rotate(q_w, surf_stack_xyz) + t_w
+    surf = grid_insert(grid_map.surf, pw_s, surf_stack_mask,
+                       cfg.surf_cell, cfg.plane_resolution)
+
+    # recenter (reference :207-402): evict outside the window extent when
+    # the pose crosses a cube boundary
+    center = _cube_coord(t_w, cfg.cube_size)
+    changed = jnp.any(center != grid_map.center)
+    radius = jnp.asarray([
+        cfg.cube_width * cfg.cube_size / 2.0,
+        cfg.cube_height * cfg.cube_size / 2.0,
+        cfg.cube_depth * cfg.cube_size / 2.0,
+    ], jnp.float32)
+    c_w = center.astype(jnp.float32) * cfg.cube_size
+
+    def do_evict(grids):
+        c, s = grids
+        return grid_evict(c, c_w, radius), grid_evict(s, c_w, radius)
+
+    corner, surf = jax.lax.cond(changed, do_evict, lambda g: g, (corner, surf))
+
     stats = {"n_map_corner": n_map_corner, "n_map_surf": n_map_surf,
              "solved": enough}
-    return new_map, q_w, t_w, stats
+    return GridMap(corner, surf, center), q_w, t_w, stats
 
 
-def _append_to_window(win_pts, win_mask, new_pts, new_valid, local_idx, nw, cap):
-    """Append new points to per-window-cube slabs (vectorized multi-append).
-    local_idx: [B] target window cube of each new point (nw = out of range)."""
-    cnt = jnp.sum(win_mask.astype(jnp.int32), axis=1)  # [nw]
-    B = new_pts.shape[0]
-    li = jnp.where(new_valid, local_idx, nw)
-    # rank of each point within its target cube: stable sort by cube id
-    order = jnp.argsort(li * B + jnp.arange(B))
-    li_s = li[order]
-    starts = jnp.concatenate([
-        jnp.zeros((1,), jnp.int32),
-        jnp.cumsum(jnp.bincount(li_s, length=nw + 1)[:-1].astype(jnp.int32)),
-    ])
-    rank = jnp.arange(B) - starts[jnp.minimum(li_s, nw)]
-    pos = cnt[jnp.minimum(li_s, nw - 1)] + rank
-    dest_cube = jnp.where((li_s < nw) & (pos < cap), li_s, nw)
-    pos = jnp.clip(pos, 0, cap - 1)
-    pts_pad = jnp.concatenate([win_pts, jnp.zeros((1, cap, 3), win_pts.dtype)])
-    mask_pad = jnp.concatenate([win_mask, jnp.zeros((1, cap), bool)])
-    pts_pad = pts_pad.at[dest_cube, pos].set(new_pts[order], mode="drop")
-    mask_pad = mask_pad.at[dest_cube, pos].set(True, mode="drop")
-    return pts_pad[:nw], mask_pad[:nw]
-
-
-def _insert_and_filter(
-    cube_map: CubeMap, slots, coords, c_pts, c_mask, s_pts, s_mask,
-    corner_stack_xyz, corner_stack_mask, surf_stack_xyz, surf_stack_mask,
-    q_w, t_w, center, cfg: LaserMappingConfig,
-):
-    """Scatter refined frame points into the window cubes, voxel-filter each
-    touched cube (reference :638-702), then write the window back into the
-    circular-buffer map (claiming stale slots)."""
-    nw = slots.shape[0]
-    offs = jnp.asarray(_window_offsets(cfg))
-    lo = center + offs[0]  # window origin cube coord
-    W, H = cfg.gather_w, cfg.gather_h
-
-    def local_index(pw):
-        c = _cube_coord(pw, cfg.cube_size) - lo
-        inside = (
-            (c[:, 0] >= 0) & (c[:, 0] < cfg.gather_w)
-            & (c[:, 1] >= 0) & (c[:, 1] < cfg.gather_h)
-            & (c[:, 2] >= 0) & (c[:, 2] < cfg.gather_d)
-        )
-        li = c[:, 0] + W * c[:, 1] + W * H * c[:, 2]
-        return jnp.where(inside, li, nw), inside
-
-    pw_c = so3.quat_rotate(q_w, corner_stack_xyz) + t_w
-    li_c, in_c = local_index(pw_c)
-    c_pts2, c_mask2 = _append_to_window(
-        c_pts, c_mask, pw_c, corner_stack_mask & in_c, li_c, nw,
-        cfg.cube_corner_capacity,
-    )
-    pw_s = so3.quat_rotate(q_w, surf_stack_xyz) + t_w
-    li_s, in_s = local_index(pw_s)
-    s_pts2, s_mask2 = _append_to_window(
-        s_pts, s_mask, pw_s, surf_stack_mask & in_s, li_s, nw,
-        cfg.cube_surf_capacity,
-    )
-
-    # voxel-filter each touched cube (reference :688-702)
-    def filt(pts, mask, leaf, cap):
-        out_xyz, _, _, out_mask = voxel_downsample(pts, mask, leaf, cap)
-        return jnp.where(out_mask[:, None], out_xyz, 0.0), out_mask
-
-    c_pts3, c_mask3 = jax.vmap(lambda p, m: filt(p, m, cfg.line_resolution,
-                                                 cfg.cube_corner_capacity))(c_pts2, c_mask2)
-    s_pts3, s_mask3 = jax.vmap(lambda p, m: filt(p, m, cfg.plane_resolution,
-                                                 cfg.cube_surf_capacity))(s_pts2, s_mask2)
-
-    # write back: window slots now hold `coords` cubes
-    new_corner_pts = cube_map.corner_pts.at[slots].set(c_pts3)
-    new_corner_cnt = cube_map.corner_cnt.at[slots].set(
-        jnp.sum(c_mask3.astype(jnp.int32), axis=1)
-    )
-    new_surf_pts = cube_map.surf_pts.at[slots].set(s_pts3)
-    new_surf_cnt = cube_map.surf_cnt.at[slots].set(
-        jnp.sum(s_mask3.astype(jnp.int32), axis=1)
-    )
-    new_slot_coord = cube_map.slot_coord.at[slots].set(coords)
-    return CubeMap(new_corner_pts, new_corner_cnt, new_surf_pts, new_surf_cnt,
-                   new_slot_coord)
-
-
-def export_map_points(cube_map: CubeMap, max_points: int = 1 << 20):
+def export_map_points(grid_map: GridMap, max_points: int = 1 << 20):
     """Download the accumulated map as (corner [Mc,3], surf [Ms,3]) numpy
     arrays (the /laser_cloud_map publisher analogue, reference
-    laser_mapping.cpp:778-793). One flattened masked download."""
-    c_mask = (jnp.arange(cube_map.corner_pts.shape[1])[None, :]
-              < cube_map.corner_cnt[:, None])
-    s_mask = (jnp.arange(cube_map.surf_pts.shape[1])[None, :]
-              < cube_map.surf_cnt[:, None])
-    flat = jnp.concatenate([
-        cube_map.corner_pts.reshape(-1, 3),
-        cube_map.surf_pts.reshape(-1, 3),
-    ]).reshape(-1)
-    masks = jnp.concatenate([c_mask.reshape(-1), s_mask.reshape(-1)])
-    nc = cube_map.corner_pts.shape[0] * cube_map.corner_pts.shape[1]
-    pts = np.asarray(flat).reshape(-1, 3)
-    m = np.asarray(masks)
-    corner = pts[:nc][m[:nc]][:max_points]
-    surf = pts[nc:][m[nc:]][:max_points]
-    return corner, surf
+    laser_mapping.cpp:778-793)."""
+    return (grid_export(grid_map.corner, max_points),
+            grid_export(grid_map.surf, max_points))
 
 
 class LaserMapping:
@@ -374,7 +222,7 @@ class LaserMapping:
 
         self.cfg = cfg
         self.R = R
-        self.map = CubeMap.create(cfg)
+        self.map = GridMap.create(cfg)
         self.q_wmap_wodom = np.array([0.0, 0.0, 0.0, 1.0])
         self.t_wmap_wodom = np.zeros(3)
         self.q_w = np.array([0.0, 0.0, 0.0, 1.0])
