@@ -28,7 +28,7 @@ from vloam_tpu.lidar.odometry import solve_lo
 from vloam_tpu.lidar.voxel import voxel_downsample
 from vloam_tpu.runtime.profiling import fence
 
-ITERS = 8
+ITERS = 64
 
 
 def chained(label, fn, *args, iters=ITERS):

@@ -44,10 +44,10 @@ def test_export_map_points():
     gm = GridMap.create(cfg)
     gm = gm._replace(
         corner=gm.corner._replace(
-            pts=gm.corner.pts.at[3, :5].set(1.5),
+            pts=gm.corner.pts.at[:, 3, :5].set(1.5),
             cnt=gm.corner.cnt.at[3].set(5)),
         surf=gm.surf._replace(
-            pts=gm.surf.pts.at[7, :9].set(2.5),
+            pts=gm.surf.pts.at[:, 7, :9].set(2.5),
             cnt=gm.surf.cnt.at[7].set(9)),
     )
     corner, surf = export_map_points(gm)

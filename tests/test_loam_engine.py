@@ -47,3 +47,28 @@ def test_engine_matches_host_classes():
     np.testing.assert_allclose(outs["t_w_lo32"], outs["t_w_lo"], atol=5e-3)
     gt = np.stack([T[:3, 3] for T in poses])
     assert np.linalg.norm(outs["t_w_mo"] - gt, axis=1).max() < 0.3
+
+
+def test_polar_ingest_matches_xyz_ingest():
+    """Quantized range-image ingest must track the xyz ingest: identical
+    raycast, 5 mm quantization below the 10 mm sensor noise."""
+    cfg = small_cfg()
+    scene = synthetic.urban_scene(21)
+    n = 4
+    poses = synthetic.drive_trajectory(n, speed=1.0, yaw_rate=0.02)
+
+    eng_xyz = LoamEngine(cfg, chunk=2)
+    eng_pol = LoamEngine(cfg, chunk=2)
+    for k, T in enumerate(poses):
+        pts = synthetic.simulate_scan(scene, T, n_scans=64, n_azimuth=900,
+                                      seed=k)
+        img = synthetic.simulate_scan_polar(scene, T, n_scans=64,
+                                            n_azimuth=900, seed=k)
+        assert img.dtype == np.uint16 and img.shape == (64, 900)
+        eng_xyz.push(pts)
+        eng_pol.push_polar(img)
+    o_xyz = unpack_outputs(eng_xyz.finish())
+    o_pol = unpack_outputs(eng_pol.finish())
+    np.testing.assert_allclose(o_pol["t_w_mo"], o_xyz["t_w_mo"], atol=3e-2)
+    gt = np.stack([T[:3, 3] for T in poses])
+    assert np.linalg.norm(o_pol["t_w_mo"] - gt, axis=1).max() < 0.3

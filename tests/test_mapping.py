@@ -75,15 +75,15 @@ def test_grid_evict_keeps_box_and_compacts():
     g = grid_insert(g, jnp.asarray(pts), jnp.ones(5, bool), 2.0, 0.4)
     g2 = grid_evict(g, jnp.zeros(3), jnp.asarray([10.0, 10.0, 10.0]))
     assert int(jnp.sum(g2.cnt)) == 3
-    live = np.asarray(g2.pts.reshape(-1, 3))
+    live = np.asarray(g2.pts).reshape(3, -1).T
     live = live[live[:, 0] < SENTINEL * 0.5]
     assert (np.abs(live) <= 10.0).all()
     # slabs stay front-compacted: entries beyond cnt are sentinels
     cnts = np.asarray(g2.cnt)
-    slab = np.asarray(g2.pts)
+    slab = np.asarray(g2.pts)  # [3, nb, cap]
     for b in np.nonzero(cnts)[0]:
-        assert (slab[b, cnts[b]:, 0] > SENTINEL * 0.5).all()
-        assert (slab[b, :cnts[b], 0] < SENTINEL * 0.5).all()
+        assert (slab[0, b, cnts[b]:] > SENTINEL * 0.5).all()
+        assert (slab[0, b, :cnts[b]] < SENTINEL * 0.5).all()
 
 
 def test_mapping_improves_or_tracks_lo():

@@ -158,6 +158,42 @@ def simulate_scan(
     return pts_sensor[hit].astype(np.float32)
 
 
+def simulate_scan_polar(
+    scene: Scene,
+    T_world_sensor: np.ndarray,
+    n_scans: int = 64,
+    n_azimuth: int = 1800,
+    noise: float = 0.01,
+    seed: int = 0,
+    range_scale: float = 0.005,
+) -> np.ndarray:
+    """Same raycast as simulate_scan, returned as a quantized range image
+    [n_scans, n_azimuth] uint16 in `range_scale`-meter units (0 = no return).
+    3.4x fewer upload bytes than int16 xyz; xyz is reconstructed on device
+    (loam_step.polar_to_xyz) from the static ray-direction grid."""
+    rng = np.random.default_rng(seed)
+    elev = np.radians(hdl64_elevations(n_scans))
+    az = -np.linspace(0, 2 * np.pi, n_azimuth, endpoint=False)
+    ce, se = np.cos(elev), np.sin(elev)
+    ca, sa = np.cos(az), np.sin(az)
+    d = np.stack(
+        [
+            ce[:, None] * ca[None, :],
+            ce[:, None] * sa[None, :],
+            np.broadcast_to(se[:, None], (n_scans, n_azimuth)),
+        ],
+        axis=-1,
+    ).reshape(-1, 3)
+    R = T_world_sensor[:3, :3]
+    t = T_world_sensor[:3, 3]
+    rngs = _ray_scene_range(np.broadcast_to(t, d.shape), d @ R.T, scene)
+    hit = np.isfinite(rngs) & (rngs < scene.max_range)
+    if noise > 0:
+        rngs = rngs + np.where(hit, rng.normal(0, noise, rngs.shape), 0.0)
+    q = np.where(hit, np.clip(np.round(rngs / range_scale), 1, 65535), 0)
+    return q.reshape(n_scans, n_azimuth).astype(np.uint16)
+
+
 def pad_scan(pts: np.ndarray, cap: int) -> tuple[np.ndarray, int]:
     n = min(len(pts), cap)
     out = np.zeros((cap, 3), np.float32)

@@ -5,10 +5,13 @@ src/lidar_odometry_mapping/src/laser_mapping.cpp:207-440,477,543,688-702).
 The key idea: the map's STORAGE LAYOUT is the k-NN acceleration structure,
 maintained incrementally — nothing is rebuilt per frame.
 
-- Points live in dense bucket slabs `[n_buckets, cap, 3]`; a point's bucket
-  is a hash of its `cell`-sized grid cell. Slabs are SENTINEL-padded so
-  queries need no mask gathers (sentinel distances ~1e12 lose every
-  comparison and fail the 1 m acceptance gate naturally).
+- Points live in PLANAR bucket slabs `[3, n_buckets, cap]` (x/y/z planes);
+  a point's bucket is a hash of its `cell`-sized grid cell. Planar layout
+  matters: with xyz in the minor dimension every distance op runs at 3/128
+  TPU lane utilization (measured 5.5 ms of a 7.8 ms query); planar puts the
+  8*cap candidate axis in the lanes. Slabs are SENTINEL-padded so queries
+  need no mask gathers: sentinel distances ~1e12 lose every comparison and
+  fail the 1 m acceptance gate naturally.
 - INSERT (per frame, reference :638-686) sorts only the ~4-16k NEW stack
   points by bucket (not the ~300k-point neighborhood), drops any point whose
   map-resolution voxel is already occupied in its bucket (first observation
@@ -19,10 +22,9 @@ maintained incrementally — nothing is rebuilt per frame.
   centroid — below the association noise floor at 0.4/0.8 m resolutions.
 - QUERY (the KdTreeFLANN 5-NN at :477,:543) probes the 8 cells that can
   contain any neighbor within radius cell/2 (per axis, the query's own cell
-  plus the nearer neighbor cell), gathers 8 slab descriptors per query, and
-  top-k's the <=8*cap candidates. With cell >= 2 * search radius this is
-  EXACT within the radius gate. 8 slab gathers beat the 27 of a unit-cell
-  grid: TPU gathers cost ~6 ns per descriptor regardless of row width.
+  plus the nearer neighbor cell), gathers 8 slab rows per query per plane,
+  and top-k's the <=8*cap candidates. With cell >= 2 * search radius this is
+  EXACT within the radius gate.
 - EVICT (the reference's cube-shift recentering, :207-402) runs only when
   the pose crosses a cube boundary: one elementwise pass marks points
   outside the reference's window extent (w/2, h/2, d/2 cubes from center),
@@ -58,15 +60,15 @@ def _hash_cell(ix, iy, iz, n_buckets):
 
 
 class FeatureGrid(NamedTuple):
-    """One feature class's map: SENTINEL-padded bucket slabs + fill counts."""
+    """One feature class's map: SENTINEL-padded planar slabs + fill counts."""
 
-    pts: jnp.ndarray  # [n_buckets, cap, 3] f32
+    pts: jnp.ndarray  # [3, n_buckets, cap] f32 (x/y/z planes)
     cnt: jnp.ndarray  # [n_buckets] int32
 
 
 def grid_create(n_buckets: int, cap: int) -> FeatureGrid:
     return FeatureGrid(
-        pts=jnp.full((n_buckets, cap, 3), SENTINEL, jnp.float32),
+        pts=jnp.full((3, n_buckets, cap), SENTINEL, jnp.float32),
         cnt=jnp.zeros((n_buckets,), jnp.int32),
     )
 
@@ -83,13 +85,13 @@ def grid_insert(g: FeatureGrid, p: jnp.ndarray, mask: jnp.ndarray,
 
     `cell` must be an integer multiple of `res` (so a voxel never straddles
     a cell boundary and the per-bucket dup check is complete)."""
-    nb, cap = g.pts.shape[0], g.pts.shape[1]
+    nb, cap = g.pts.shape[1], g.pts.shape[2]
     B = p.shape[0]
     b = _bucket_of(p, cell, nb)  # [B]
-    v = jnp.floor(p / res).astype(jnp.int32)  # [B, 3]
-    slab = g.pts[b]  # [B, cap, 3]
+    v = jnp.floor(p.T / res).astype(jnp.int32)  # [3, B]
+    slab = g.pts[:, b]  # [3, B, cap]
     sv = jnp.floor(slab / res).astype(jnp.int32)
-    dup = jnp.any(jnp.all(sv == v[:, None, :], axis=-1), axis=-1)
+    dup = jnp.any(jnp.all(sv == v[:, :, None], axis=0), axis=-1)
     keep = mask & ~dup
     key = jnp.where(keep, b, nb)
     order = jnp.argsort(key)  # stable
@@ -104,7 +106,7 @@ def grid_insert(g: FeatureGrid, p: jnp.ndarray, mask: jnp.ndarray,
     ok = (ks < nb) & (pos < cap)
     dest_b = jnp.where(ok, ks, nb)  # nb = out of bounds -> dropped
     pos = jnp.clip(pos, 0, cap - 1)
-    pts = g.pts.at[dest_b, pos].set(p[order], mode="drop")
+    pts = g.pts.at[:, dest_b, pos].set(p[order].T, mode="drop")
     added = jnp.bincount(jnp.where(ok, ks, nb), length=nb + 1)[:nb]
     return FeatureGrid(pts=pts, cnt=g.cnt + added.astype(jnp.int32))
 
@@ -114,13 +116,15 @@ def grid_evict(g: FeatureGrid, center: jnp.ndarray,
                radius: jnp.ndarray) -> FeatureGrid:
     """Drop points outside the box center +- radius (both [3], meters) and
     compact each bucket (stable, keeps insertion order)."""
-    live = g.pts[..., 0] < SENTINEL * 0.5
-    inside = jnp.all(jnp.abs(g.pts - center) <= radius, axis=-1)
+    live = g.pts[0] < SENTINEL * 0.5
+    inside = jnp.all(
+        jnp.abs(g.pts - center[:, None, None]) <= radius[:, None, None],
+        axis=0)
     keep = live & inside
     idx = jnp.argsort(~keep, axis=1)  # stable: kept entries first
-    pts = jnp.take_along_axis(g.pts, idx[..., None], axis=1)
+    pts = jnp.take_along_axis(g.pts, idx[None, :, :], axis=2)
     keep_s = jnp.take_along_axis(keep, idx, axis=1)
-    pts = jnp.where(keep_s[..., None], pts, SENTINEL)
+    pts = jnp.where(keep_s[None], pts, SENTINEL)
     return FeatureGrid(pts=pts, cnt=jnp.sum(keep, axis=1).astype(jnp.int32))
 
 
@@ -129,7 +133,7 @@ def grid_knn(g: FeatureGrid, queries: jnp.ndarray, cell: float, k: int = 5):
     """k-NN among points within the 8-cell probe — exact for true neighbors
     closer than cell/2. Returns (d_sq [Q,k] ascending, near [Q,k,3]); slots
     beyond the candidate count return sentinel points with d_sq ~1e12."""
-    nb, cap = g.pts.shape[0], g.pts.shape[1]
+    nb, cap = g.pts.shape[1], g.pts.shape[2]
     q = queries.shape[0]
     s = queries / cell
     c = jnp.floor(s).astype(jnp.int32)
@@ -142,18 +146,19 @@ def grid_knn(g: FeatureGrid, queries: jnp.ndarray, cell: float, k: int = 5):
                                      c[:, 1] + sy * off[:, 1],
                                      c[:, 2] + sz * off[:, 2], nb))
     buckets = jnp.stack(hs, axis=1)  # [Q, 8]
-    cand = g.pts[buckets].reshape(q, 8 * cap, 3)
-    d = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
+    cand = g.pts[:, buckets].reshape(3, q, 8 * cap)  # planar candidates
+    diff = cand - queries.T[:, :, None]
+    d = jnp.sum(diff * diff, axis=0)  # [Q, 8*cap], lanes on candidates
     nd, ni = jax.lax.top_k(-d, k)
-    near = jnp.take_along_axis(cand, ni[:, :, None], axis=1)
-    return -nd, near
+    near = jnp.take_along_axis(cand, ni[None, :, :], axis=2)  # [3, Q, k]
+    return -nd, jnp.moveaxis(near, 0, 2)  # (d_sq [Q,k], near [Q,k,3])
 
 
 def grid_export(g: FeatureGrid, max_points: int | None = None):
     """Download live points as a numpy [M, 3] array (one masked download)."""
     import numpy as np
 
-    pts = np.asarray(g.pts.reshape(-1)).reshape(-1, 3)
+    pts = np.asarray(g.pts.reshape(-1)).reshape(3, -1).T
     live = pts[:, 0] < SENTINEL * 0.5
     out = pts[live]
     return out[:max_points] if max_points is not None else out

@@ -178,6 +178,9 @@ class LoamEngine:
         self._outs = []
         self._pending_scans: list[np.ndarray] = []
         self._pending_n: list[int] = []
+        self._pending_polar: list[np.ndarray] = []
+        self._elev = None
+        self._polar_scale = 0.005
 
     def _stage(self, points: np.ndarray) -> np.ndarray:
         cap = self.cfg.lidar.max_points
@@ -196,6 +199,36 @@ class LoamEngine:
         self._pending_n.append(min(len(points), self.cfg.lidar.max_points))
         if len(self._pending_scans) >= self.chunk:
             self._flush()
+
+    def push_polar(self, range_img: np.ndarray, range_scale: float = 0.005,
+                   elevations_deg: np.ndarray | None = None):
+        """Push one quantized range image [n_scans, n_azimuth] uint16 (the
+        smallest-upload ingest: 2 bytes/ray; xyz reconstructed on device).
+        All frames of a sequence must share shape and scale."""
+        if self._elev is None:
+            from ..data.synthetic import hdl64_elevations
+
+            ed = (elevations_deg if elevations_deg is not None
+                  else hdl64_elevations(self.cfg.lidar.n_scans))
+            self._elev = jnp.asarray(np.radians(ed), jnp.float32)
+        self._polar_scale = range_scale
+        self._pending_polar.append(range_img)
+        if len(self._pending_polar) >= self.chunk:
+            self._flush_polar()
+
+    def _flush_polar(self):
+        if not self._pending_polar:
+            return
+        ranges = jnp.asarray(np.stack(self._pending_polar))
+        self._pending_polar = []
+        f = ranges.shape[0]
+        pq = jnp.zeros((f, 4), jnp.float32).at[:, 3].set(1.0)
+        pt = jnp.zeros((f, 3), jnp.float32)
+        up = jnp.zeros((f,), bool)
+        self.state, outs = loam_run_chunk_polar(
+            self.state, ranges, self._elev, pq, pt, up, self.cfg,
+            self._polar_scale)
+        self._outs.append(outs)
 
     def _flush(self):
         if not self._pending_scans:
@@ -219,10 +252,55 @@ class LoamEngine:
     def finish(self) -> np.ndarray:
         """[N, OUT_DIM] packed results (one flattened download)."""
         self._flush()
+        self._flush_polar()
         if not self._outs:
             return np.zeros((0, OUT_DIM), np.float32)
         stacked = jnp.concatenate(self._outs, axis=0).reshape(-1)
         return np.asarray(stacked).reshape(-1, OUT_DIM)
+
+
+def polar_to_xyz(ranges_u16: jnp.ndarray, elev_rad: jnp.ndarray,
+                 scale: float) -> jnp.ndarray:
+    """Decode a quantized range image [S, A] uint16 (0 = no return) into
+    sensor-frame points [S*A, 3] (ring-major, matching the velodyne firing
+    order the rest of the stack expects). Invalid rays decode to the origin
+    and are culled by the scanreg minimum-range filter."""
+    S, A = ranges_u16.shape
+    az = -jnp.linspace(0.0, 2.0 * jnp.pi, A, endpoint=False)
+    ce, se = jnp.cos(elev_rad), jnp.sin(elev_rad)
+    ca, sa = jnp.cos(az), jnp.sin(az)
+    r = ranges_u16.astype(jnp.float32) * scale  # [S, A]
+    dirs = jnp.stack([
+        ce[:, None] * ca[None, :],
+        ce[:, None] * sa[None, :],
+        jnp.broadcast_to(se[:, None], (S, A)),
+    ], axis=-1)
+    return (dirs * r[:, :, None]).reshape(S * A, 3)
+
+
+@partial(jax.jit, static_argnames=("cfg", "scale"), donate_argnums=(0,))
+def loam_run_chunk_polar(
+    state: LoamState,
+    ranges: jnp.ndarray,  # [F, S, A] uint16 quantized range images
+    elev_rad: jnp.ndarray,  # [S] ring elevation angles (radians)
+    prior_q: jnp.ndarray,
+    prior_t: jnp.ndarray,
+    use_prior: jnp.ndarray,
+    cfg: PipelineConfig,
+    scale: float = 0.005,
+):
+    """Polar-ingest chunk: uploads quantized range images (2 bytes/ray,
+    ~3x fewer bytes than int16 xyz) and reconstructs xyz on device."""
+    S, A = ranges.shape[1], ranges.shape[2]
+    n = jnp.int32(S * A)
+
+    def body(st, inp):
+        r_img, pq, pt, up = inp
+        scan = polar_to_xyz(r_img, elev_rad, scale)
+        return loam_frame_step(st, scan, n, pq, pt, up, cfg)
+
+    return jax.lax.scan(body, state,
+                        (ranges, prior_q, prior_t, use_prior))
 
 
 # non-donating variant for odd-size tail chunks
