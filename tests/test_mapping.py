@@ -78,12 +78,13 @@ def test_grid_evict_keeps_box_and_compacts():
     live = np.asarray(g2.pts).reshape(3, -1).T
     live = live[live[:, 0] < SENTINEL * 0.5]
     assert (np.abs(live) <= 10.0).all()
-    # slabs stay front-compacted: entries beyond cnt are sentinels
-    cnts = np.asarray(g2.cnt)
-    slab = np.asarray(g2.pts)  # [3, nb, cap]
-    for b in np.nonzero(cnts)[0]:
-        assert (slab[0, b, cnts[b]:] > SENTINEL * 0.5).all()
-        assert (slab[0, b, :cnts[b]] < SENTINEL * 0.5).all()
+    # holes left by eviction are refilled by later inserts (no overflow)
+    refill = np.array([[0.9, 0.2, 0.1], [28.9, 0.1, 0.2]], np.float32)
+    g3 = grid_insert(g2, jnp.asarray(refill), jnp.ones(2, bool), 2.0, 0.4)
+    assert int(jnp.sum(g3.cnt)) == 5
+    live3 = np.asarray(g3.pts).reshape(3, -1).T
+    live3 = live3[live3[:, 0] < SENTINEL * 0.5]
+    assert len(live3) == 5
 
 
 def test_mapping_improves_or_tracks_lo():

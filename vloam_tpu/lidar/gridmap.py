@@ -15,7 +15,7 @@ maintained incrementally — nothing is rebuilt per frame.
 - INSERT (per frame, reference :638-686) sorts only the ~4-16k NEW stack
   points by bucket (not the ~300k-point neighborhood), drops any point whose
   map-resolution voxel is already occupied in its bucket (first observation
-  wins), and scatters the rest after the buckets' current fill. This
+  wins), and scatters the rest into the buckets' free slots. This
   subsumes the reference's per-cube voxel re-filter (:688-702): the map
   holds at most one point per voxel BY CONSTRUCTION. Difference vs pcl
   VoxelGrid: the kept point is the first-observed sample, not the running
@@ -27,9 +27,10 @@ maintained incrementally — nothing is rebuilt per frame.
   EXACT within the radius gate.
 - EVICT (the reference's cube-shift recentering, :207-402) runs only when
   the pose crosses a cube boundary: one elementwise pass marks points
-  outside the reference's window extent (w/2, h/2, d/2 cubes from center),
-  and a per-bucket stable compaction keeps slabs dense. O(map) but
-  amortized over ~50 m of travel.
+  outside the reference's window extent (w/2, h/2, d/2 cubes from center)
+  as sentinels. Slots are never compacted — insert fills holes via a
+  per-row free-slot scan — so eviction is ~1 ms, not the ~100 ms any
+  per-bucket sort/scatter compaction costs on the full map.
 
 Hash collisions only ADD candidates (two far cells sharing a bucket), never
 remove them; a bucket shared by k live cells effectively splits its
@@ -60,7 +61,9 @@ def _hash_cell(ix, iy, iz, n_buckets):
 
 
 class FeatureGrid(NamedTuple):
-    """One feature class's map: SENTINEL-padded planar slabs + fill counts."""
+    """One feature class's map: SENTINEL-padded planar slabs + live counts.
+    Slots are not kept contiguous (evict leaves holes; insert fills them);
+    `cnt` is the number of live points per bucket, used only for stats."""
 
     pts: jnp.ndarray  # [3, n_buckets, cap] f32 (x/y/z planes)
     cnt: jnp.ndarray  # [n_buckets] int32
@@ -102,10 +105,15 @@ def grid_insert(g: FeatureGrid, p: jnp.ndarray, mask: jnp.ndarray,
         jnp.cumsum(counts).astype(jnp.int32)[:-1],
     ])
     rank = jnp.arange(B, dtype=jnp.int32) - starts[jnp.minimum(ks, nb - 1)]
-    pos = g.cnt[jnp.minimum(ks, nb - 1)] + rank
-    ok = (ks < nb) & (pos < cap)
+    # destination = (rank+1)-th FREE slot of the bucket row. Buckets may
+    # have holes (grid_evict only marks sentinels, never compacts — O(map)
+    # compaction costs ~100 ms; this per-row scan is O(frame)).
+    free = slab[0][order] > SENTINEL * 0.5  # [B, cap]
+    fcsum = jnp.cumsum(free, axis=1).astype(jnp.int32)
+    ge = fcsum >= (rank + 1)[:, None]
+    pos = jnp.argmax(ge, axis=1).astype(jnp.int32)
+    ok = (ks < nb) & (rank < fcsum[:, -1])
     dest_b = jnp.where(ok, ks, nb)  # nb = out of bounds -> dropped
-    pos = jnp.clip(pos, 0, cap - 1)
     pts = g.pts.at[:, dest_b, pos].set(p[order].T, mode="drop")
     added = jnp.bincount(jnp.where(ok, ks, nb), length=nb + 1)[:nb]
     return FeatureGrid(pts=pts, cnt=g.cnt + added.astype(jnp.int32))
@@ -114,17 +122,16 @@ def grid_insert(g: FeatureGrid, p: jnp.ndarray, mask: jnp.ndarray,
 @jax.jit
 def grid_evict(g: FeatureGrid, center: jnp.ndarray,
                radius: jnp.ndarray) -> FeatureGrid:
-    """Drop points outside the box center +- radius (both [3], meters) and
-    compact each bucket (stable, keeps insertion order)."""
+    """Drop points outside the box center +- radius (both [3], meters):
+    one elementwise pass marking sentinels. Slots are NOT compacted —
+    grid_insert fills holes — so eviction costs ~1 ms instead of the
+    ~100 ms of any per-bucket compaction (sort or scatter) on the full map."""
     live = g.pts[0] < SENTINEL * 0.5
     inside = jnp.all(
         jnp.abs(g.pts - center[:, None, None]) <= radius[:, None, None],
         axis=0)
     keep = live & inside
-    idx = jnp.argsort(~keep, axis=1)  # stable: kept entries first
-    pts = jnp.take_along_axis(g.pts, idx[None, :, :], axis=2)
-    keep_s = jnp.take_along_axis(keep, idx, axis=1)
-    pts = jnp.where(keep_s[None], pts, SENTINEL)
+    pts = jnp.where(keep[None], g.pts, SENTINEL)
     return FeatureGrid(pts=pts, cnt=jnp.sum(keep, axis=1).astype(jnp.int32))
 
 

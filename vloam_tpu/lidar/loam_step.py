@@ -26,7 +26,7 @@ from ..config import PipelineConfig
 from ..geometry import so3
 from .mapping import GridMap, solve_mapping
 from .odometry import solve_lo
-from .scan_registration import register_scan
+from .scan_registration import register_scan, register_scan_polar
 from .types import FeatureCloud
 from .voxel import voxel_downsample
 
@@ -71,10 +71,23 @@ def loam_frame_step(
     use_prior: jnp.ndarray,  # bool
     cfg: PipelineConfig,
 ):
-    """One frame; returns (new_state, out [OUT_DIM]):
+    """One frame from an xyz point buffer; returns (new_state, out)."""
+    feats = register_scan(scan, n_pts, cfg.lidar, cfg.scanreg)
+    return loam_frame_step_feats(state, feats, prior_q, prior_t, use_prior,
+                                 cfg)
+
+
+def loam_frame_step_feats(
+    state: LoamState,
+    feats,
+    prior_q: jnp.ndarray,
+    prior_t: jnp.ndarray,
+    use_prior: jnp.ndarray,
+    cfg: PipelineConfig,
+):
+    """One frame from extracted features; returns (new_state, out [OUT_DIM]):
     out = [q_f2f(4), t_f2f(3), q_w_lo(4), t_w_lo(3), q_w_mo(4), t_w_mo(3),
            n_corner_corr, n_plane_corr, mapped_flag]."""
-    feats = register_scan(scan, n_pts, cfg.lidar, cfg.scanreg)
     initialized = state.frame_idx > 0
 
     q0 = jnp.where(use_prior, prior_q, state.q_f2f)
@@ -290,14 +303,14 @@ def loam_run_chunk_polar(
     scale: float = 0.005,
 ):
     """Polar-ingest chunk: uploads quantized range images (2 bytes/ray,
-    ~3x fewer bytes than int16 xyz) and reconstructs xyz on device."""
-    S, A = ranges.shape[1], ranges.shape[2]
-    n = jnp.int32(S * A)
+    ~3x fewer bytes than int16 xyz) and runs the polar-specialized scan
+    registration (the range image is already the per-ring layout)."""
 
     def body(st, inp):
         r_img, pq, pt, up = inp
-        scan = polar_to_xyz(r_img, elev_rad, scale)
-        return loam_frame_step(st, scan, n, pq, pt, up, cfg)
+        feats = register_scan_polar(r_img, elev_rad, cfg.lidar, cfg.scanreg,
+                                    scale)
+        return loam_frame_step_feats(st, feats, pq, pt, up, cfg)
 
     return jax.lax.scan(body, state,
                         (ranges, prior_q, prior_t, use_prior))
