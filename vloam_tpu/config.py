@@ -67,6 +67,11 @@ class LaserOdometryConfig:
     nearby_scan: float = 2.5  # laser_odometry.h:95
     huber_delta: float = 0.1  # ":217"
     distortion: bool = False  # laser_odometry.h:90 (KITTI clouds pre-deskewed)
+    # Correspondence shortlist size (knn.shortlist_ring_assoc): the ring-
+    # constrained picks are derived from the top-k nearest candidates in one
+    # distance pass instead of a second full sweep; 24 covers the gated
+    # picks at LiDAR densities (validated against the exact two-pass form).
+    assoc_shortlist: int = 24
     mapping_skip_frame: int = 1  # launch:6
 
 

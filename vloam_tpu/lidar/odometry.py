@@ -7,8 +7,8 @@ point-to-plane (LidarPlaneFactor, lidarFactor.hpp:58-106) residuals, with
 Huber(0.1) loss and a quaternion-local parameterization.
 
 TPU mapping:
-- KD-tree NN + ring-directional scans -> tiled MXU brute force with ring
-  constraints (knn.nearest_and_ring_constrained),
+- KD-tree NN + ring-directional scans -> one dense MXU distance pass with
+  all picks derived from a top-k shortlist (knn.shortlist_ring_assoc),
 - Ceres LM -> solver.lm batched IRLS-LM with jacfwd Jacobians,
 - DISTORTION=false (laser_odometry.h:90): TransformToStart applies the full
   transform (s=1), so the slerp fraction drops out.
@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..config import LaserOdometryConfig
 from ..geometry import so3
 from ..solver.lm import ResidualFamily, lm_solve
-from .knn import nearest_and_ring_constrained
+from .knn import shortlist_ring_assoc
 from .types import FeatureCloud, ScanFeatures
 
 _EPS = 1e-9
@@ -74,9 +74,9 @@ def associate_corners(
     different nearby ring (reference :266-350)."""
     q, t = _unpack(x)
     p_hat = _transform_to_start(q, t, sharp.xyz, _deskew_fraction(sharp, cfg))
-    res = nearest_and_ring_constrained(
+    res = shortlist_ring_assoc(
         p_hat, corner_last.xyz, corner_last.ring, corner_last.mask,
-        cfg.nearby_scan, mode="corner",
+        cfg.nearby_scan, mode="corner", shortlist=cfg.assoc_shortlist,
     )
     thr = cfg.distance_sq_threshold
     valid = sharp.mask & (res["d0"] < thr) & (res["d2"] < thr)
@@ -94,9 +94,9 @@ def associate_surfs(
     (reference :353-444)."""
     q, t = _unpack(x)
     p_hat = _transform_to_start(q, t, flat.xyz, _deskew_fraction(flat, cfg))
-    res = nearest_and_ring_constrained(
+    res = shortlist_ring_assoc(
         p_hat, surf_last.xyz, surf_last.ring, surf_last.mask,
-        cfg.nearby_scan, mode="surf",
+        cfg.nearby_scan, mode="surf", shortlist=cfg.assoc_shortlist,
     )
     thr = cfg.distance_sq_threshold
     valid = (
