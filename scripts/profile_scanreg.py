@@ -69,14 +69,6 @@ def main():
     chained("  less-flat voxel 163k->32k", lambda x: voxel_downsample(
         x, lf_mask, scfg.less_flat_leaf, scfg.less_flat_cap)[0], flat_xyz)
 
-    def compact_all(x):
-        lab = (curv.reshape(-1) > scfg.curvature_threshold)
-        a = sr._compact(x, jnp.zeros(x.shape[0], jnp.int32),
-                        jnp.zeros(x.shape[0]), lab, scfg.less_sharp_cap)
-        return a[0]
-
-    chained("  compact (less-sharp)", compact_all, flat_xyz)
-
 
 if __name__ == "__main__":
     main()

@@ -81,3 +81,45 @@ def test_cli_synthetic_run(tmp_path, capsys):
     # fused engine prints throughput; host engine prints the stage timing
     assert ("throughput" in out) or ("timing summary" in out)
     assert "MO" in out
+
+
+def test_native_polar_projection_roundtrip(tmp_path):
+    """Native bin->range-image projection must agree with the device decode:
+    project synthetic points, decode on device, ranges must match to the
+    5 mm quantum and ring/azimuth assignment to the reference formulas."""
+    import numpy as np
+    from vloam_tpu.data import synthetic
+    from vloam_tpu.runtime.native_io import (PolarPrefetchLoader,
+                                             project_polar_native)
+
+    # synthesize points exactly on the decode ray grid
+    elev = np.radians(synthetic.hdl64_elevations(64))
+    n_az = 360
+    az = -np.linspace(0, 2 * np.pi, n_az, endpoint=False)
+    rng = np.random.default_rng(3)
+    # sample unique (ring, col) bins: collisions legitimately keep only the
+    # nearer return, which is not what this roundtrip asserts
+    bins = rng.choice(50 * n_az, 500, replace=False)
+    rings, cols = bins // n_az, bins % n_az
+    ranges = rng.uniform(6.0, 80.0, 500).astype(np.float32)
+    d = np.stack([np.cos(elev[rings]) * np.cos(az[cols]),
+                  np.cos(elev[rings]) * np.sin(az[cols]),
+                  np.sin(elev[rings])], 1)
+    pts = (d * ranges[:, None]).astype(np.float32)
+    rec = np.concatenate([pts, np.zeros((500, 1), np.float32)], 1)
+    f = tmp_path / "000000.bin"
+    rec.astype(np.float32).tofile(f)
+
+    img = project_polar_native(str(f), 64, n_az, 0.005, 5.0)
+    got = img[rings, cols].astype(np.float64) * 0.005
+    # ring formulas snap elevations to beam centers; ranges must roundtrip
+    hit = got > 0
+    assert hit.mean() > 0.95  # collisions/edge rings may drop a few
+    np.testing.assert_allclose(got[hit], ranges[hit], atol=0.006)
+
+    # prefetch loader emits the same image
+    ld = PolarPrefetchLoader([str(f)], 64, n_az, 0.005, 5.0)
+    img2, cnt = next(ld)
+    assert cnt > 450
+    np.testing.assert_array_equal(img2, img)
+    ld.close()

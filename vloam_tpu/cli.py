@@ -40,6 +40,10 @@ def _add_run(sub):
                    help="fused: single-jit device-resident chunks (fast); "
                         "host: per-stage host orchestration (debuggable)")
     p.add_argument("--chunk", type=int, default=8)
+    p.add_argument("--polar-ingest", action="store_true",
+                   help="native bin->range-image projection + uint16 upload "
+                        "(smallest host->device bytes; lidar-only fused "
+                        "engine)")
     p.add_argument("--out", default=None, help="output directory for txt files")
     p.add_argument("--profile", default=None, help="write a jax trace here")
     p.add_argument("--verbose", type=int, default=1)
@@ -115,14 +119,18 @@ def main(argv=None):
     elif args.odometry_root:
         from .data.kitti import KittiOdometrySequence
 
-        ds = KittiOdometrySequence(args.odometry_root, args.seq)
+        ds = KittiOdometrySequence(args.odometry_root, args.seq,
+                                   polar_ingest=args.polar_ingest,
+                                   polar_scans=cfg.lidar.n_scans)
         calib = ds.calib
         end = len(ds) if args.end_frame < 0 else min(args.end_frame + 1, len(ds))
         frame_iter = (ds.frame(i) for i in range(args.start_frame, end))
     elif args.raw_root:
         from .data.kitti import KittiRawDrive
 
-        ds = KittiRawDrive(args.raw_root, args.date, args.drive)
+        ds = KittiRawDrive(args.raw_root, args.date, args.drive,
+                           polar_ingest=args.polar_ingest,
+                           polar_scans=cfg.lidar.n_scans)
         calib = ds.calib
         end = len(ds) if args.end_frame < 0 else min(args.end_frame + 1, len(ds))
         frame_iter = (ds.frame(i) for i in range(args.start_frame, end))
@@ -130,7 +138,10 @@ def main(argv=None):
         ap.error("one of --synthetic / --odometry-root / --raw-root required")
 
     if args.mode == "lidar-only":
-        frame_iter = ({"points": f["points"]} for f in frame_iter)
+        frame_iter = (
+            {"polar": f["polar"]} if "polar" in f else {"points": f["points"]}
+            for f in frame_iter
+        )
 
     def progress(k, info):
         if args.verbose:

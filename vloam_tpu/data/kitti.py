@@ -127,7 +127,10 @@ def load_image_gray(path: str | os.PathLike) -> np.ndarray:
 class KittiOdometrySequence:
     """sequences/<seq>/{velodyne, image_0, calib.txt, times.txt}."""
 
-    def __init__(self, root: str, seq: str):
+    def __init__(self, root: str, seq: str, polar_ingest: bool = False,
+                 polar_scans: int = 64, polar_az: int = 1800):
+        self.polar_ingest = polar_ingest
+        self.polar_scans, self.polar_az = polar_scans, polar_az
         self.dir = Path(root) / "sequences" / seq
         self.calib = load_odometry_calib(self.dir)
         self.velo_files = sorted((self.dir / "velodyne").glob("*.bin"))
@@ -138,7 +141,13 @@ class KittiOdometrySequence:
         return len(self.velo_files)
 
     def frame(self, i: int) -> dict:
-        out = {"points": load_velodyne_bin(self.velo_files[i])}
+        if self.polar_ingest:
+            from ..runtime.native_io import project_polar_native
+
+            out = {"polar": project_polar_native(
+                str(self.velo_files[i]), self.polar_scans, self.polar_az)}
+        else:
+            out = {"points": load_velodyne_bin(self.velo_files[i])}
         if i < len(self.img_files):
             out["image"] = load_image_gray(self.img_files[i])
         return out
@@ -148,7 +157,11 @@ class KittiRawDrive:
     """<root>/<date>/<date>_drive_<seq>_sync/... (the action-goal layout of
     the reference driver, vloam_main.action {date, seq})."""
 
-    def __init__(self, root: str, date: str, drive: str):
+    def __init__(self, root: str, date: str, drive: str,
+                 polar_ingest: bool = False, polar_scans: int = 64,
+                 polar_az: int = 1800):
+        self.polar_ingest = polar_ingest
+        self.polar_scans, self.polar_az = polar_scans, polar_az
         base = Path(root) / date
         self.dir = base / f"{date}_drive_{drive}_sync"
         self.calib = load_raw_calib(base)
@@ -160,7 +173,13 @@ class KittiRawDrive:
         return len(self.velo_files)
 
     def frame(self, i: int) -> dict:
-        out = {"points": load_velodyne_bin(self.velo_files[i])}
+        if self.polar_ingest:
+            from ..runtime.native_io import project_polar_native
+
+            out = {"polar": project_polar_native(
+                str(self.velo_files[i]), self.polar_scans, self.polar_az)}
+        else:
+            out = {"points": load_velodyne_bin(self.velo_files[i])}
         if i < len(self.img_files):
             out["image"] = load_image_gray(self.img_files[i])
         return out

@@ -258,21 +258,6 @@ def _select_ring(pts, curv, cnt, cfg: ScanRegistrationConfig):
     return label, selectable
 
 
-def _compact(xyz, ring, rel_time, mask, cap):
-    """Gather masked entries of a flat cloud into a FeatureCloud of size cap
-    (valid entries first, order preserved)."""
-    n = mask.shape[0]
-    key = jnp.where(mask, 0, 1) * n + jnp.arange(n)
-    order = jnp.argsort(key)[:cap]
-    m = mask[order]
-    return FeatureCloud(
-        xyz=jnp.where(m[:, None], xyz[order], 0.0),
-        ring=jnp.where(m, ring[order], 0).astype(jnp.int32),
-        rel_time=jnp.where(m, rel_time[order], 0.0),
-        mask=m,
-    )
-
-
 def _features_from_layout(pts, rt, counts, cfg: ScanRegistrationConfig
                           ) -> ScanFeatures:
     """Shared back half: curvature, greedy selection, and feature-cloud
@@ -295,9 +280,31 @@ def _features_from_layout(pts, rt, counts, cfg: ScanRegistrationConfig
     flat_sel = selectable.reshape(-1)
     flat_exists = exists.reshape(-1)
 
-    sharp = _compact(flat_xyz, flat_ring, flat_rt, flat_label == 2, cfg.sharp_cap)
-    less_sharp = _compact(flat_xyz, flat_ring, flat_rt, flat_label >= 1, cfg.less_sharp_cap)
-    flat = _compact(flat_xyz, flat_ring, flat_rt, flat_label == -1, cfg.flat_cap)
+    # one label-partition sort serves all three compacted clouds (sharp is a
+    # prefix of less-sharp, flat is the following group) instead of three
+    # independent N-point sorts
+    n = flat_label.shape[0]
+    group = jnp.where(flat_label == 2, 0,
+                      jnp.where(flat_label == 1, 1,
+                                jnp.where(flat_label == -1, 2, 3)))
+    order = jnp.argsort(group * n + jnp.arange(n))
+    n_sharp = jnp.sum(group == 0)
+    n_less = jnp.sum(group == 1)
+    n_flat = jnp.sum(group == 2)
+
+    def slice_group(start, count, cap):
+        sel = order[jnp.clip(start + jnp.arange(cap), 0, n - 1)]
+        m = jnp.arange(cap) < jnp.minimum(count, cap)
+        return FeatureCloud(
+            xyz=jnp.where(m[:, None], flat_xyz[sel], 0.0),
+            ring=jnp.where(m, flat_ring[sel], 0).astype(jnp.int32),
+            rel_time=jnp.where(m, flat_rt[sel], 0.0),
+            mask=m,
+        )
+
+    sharp = slice_group(jnp.int32(0), n_sharp, cfg.sharp_cap)
+    less_sharp = slice_group(jnp.int32(0), n_sharp + n_less, cfg.less_sharp_cap)
+    flat = slice_group(n_sharp + n_less, n_flat, cfg.flat_cap)
 
     lf_mask = flat_sel & (flat_label <= 0)
     lf_xyz, lf_extra, lf_ring, lf_m = voxel_downsample(

@@ -128,7 +128,10 @@ def run_sequence_fused(cfg: PipelineConfig, calib, frames,
 
         eng = LoamEngine(cfg, chunk=chunk)
         for frame in frames:
-            eng.push(frame["points"])
+            if "polar" in frame:  # quantized range image (smallest upload)
+                eng.push_polar(frame["polar"])
+            else:
+                eng.push(frame["points"])
             n_frames += 1
         raw = unpack_outputs(eng.finish())
         # export through the frame chain (f64)

@@ -53,6 +53,19 @@ def get_lib():
                                           ctypes.POINTER(ctypes.c_float)]
         lib.vloam_loader_destroy.restype = None
         lib.vloam_loader_destroy.argtypes = [ctypes.c_void_p]
+        lib.vloam_project_polar.restype = ctypes.c_int
+        lib.vloam_project_polar.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint16), ctypes.c_int,
+            ctypes.c_int, ctypes.c_float, ctypes.c_float,
+        ]
+        lib.vloam_polar_loader_create.restype = ctypes.c_void_p
+        lib.vloam_polar_loader_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_int,
+        ]
+        lib.vloam_polar_loader_next.restype = ctypes.c_int
+        lib.vloam_polar_loader_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint16)]
         _lib = lib
         return lib
 
@@ -88,6 +101,63 @@ class PrefetchLoader:
         out = np.empty((self.max_pts, 3), np.float32)
         cnt = self.lib.vloam_loader_next(
             self.handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if cnt == -2:
+            raise StopIteration
+        if cnt < 0:
+            raise IOError("loader failure")
+        return out, cnt
+
+    def close(self):
+        if self.handle:
+            self.lib.vloam_loader_destroy(self.handle)
+            self.handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def project_polar_native(path: str, n_scans: int = 64, n_az: int = 1800,
+                         range_scale: float = 0.005,
+                         min_range: float = 0.0) -> np.ndarray:
+    """Project one velodyne .bin to a quantized [n_scans, n_az] uint16 range
+    image in native code (ring/azimuth formulas match the device decode)."""
+    lib = get_lib()
+    out = np.empty((n_scans, n_az), np.uint16)
+    n = lib.vloam_project_polar(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        n_scans, n_az, range_scale, min_range)
+    if n < 0:
+        raise IOError(f"cannot read {path}")
+    return out
+
+
+class PolarPrefetchLoader:
+    """Threaded read-ahead emitting quantized range images in order (the
+    native front half of the polar ingest path; LoamEngine.push_polar is
+    the device half)."""
+
+    def __init__(self, paths: list[str], n_scans: int = 64, n_az: int = 1800,
+                 range_scale: float = 0.005, min_range: float = 0.0,
+                 n_threads: int = 2):
+        self.lib = get_lib()
+        self.n_scans, self.n_az = n_scans, n_az
+        self._paths = [str(p).encode() for p in paths]
+        arr = (ctypes.c_char_p * len(self._paths))(*self._paths)
+        self.handle = self.lib.vloam_polar_loader_create(
+            arr, len(self._paths), n_scans, n_az, range_scale, min_range,
+            n_threads)
+        self.n = len(paths)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        out = np.empty((self.n_scans, self.n_az), np.uint16)
+        cnt = self.lib.vloam_polar_loader_next(
+            self.handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
         if cnt == -2:
             raise StopIteration
         if cnt < 0:
