@@ -42,13 +42,18 @@ def test_export_map_points():
 
     cfg = tiny_test_profile().mapping
     gm = GridMap.create(cfg)
+
+    def fill(grid, bucket, n, val):
+        # interleaved row layout: row b = [x_0..x_cap | y.. | z..]
+        cap = grid.cap
+        pts = grid.pts
+        for block in range(3):
+            pts = pts.at[bucket, block * cap:block * cap + n].set(val)
+        return grid._replace(pts=pts, cnt=grid.cnt.at[bucket].set(n))
+
     gm = gm._replace(
-        corner=gm.corner._replace(
-            pts=gm.corner.pts.at[:, 3, :5].set(1.5),
-            cnt=gm.corner.cnt.at[3].set(5)),
-        surf=gm.surf._replace(
-            pts=gm.surf.pts.at[:, 7, :9].set(2.5),
-            cnt=gm.surf.cnt.at[7].set(9)),
+        corner=fill(gm.corner, 3, 5, 1.5),
+        surf=fill(gm.surf, 7, 9, 2.5),
     )
     corner, surf = export_map_points(gm)
     assert corner.shape == (5, 3) and np.allclose(corner, 1.5)

@@ -75,14 +75,15 @@ def test_grid_evict_keeps_box_and_compacts():
     g = grid_insert(g, jnp.asarray(pts), jnp.ones(5, bool), 2.0, 0.4)
     g2 = grid_evict(g, jnp.zeros(3), jnp.asarray([10.0, 10.0, 10.0]))
     assert int(jnp.sum(g2.cnt)) == 3
-    live = np.asarray(g2.pts).reshape(3, -1).T
+    cap = g2.cap
+    live = np.asarray(g2.pts).reshape(-1, 3, cap).transpose(0, 2, 1).reshape(-1, 3)
     live = live[live[:, 0] < SENTINEL * 0.5]
     assert (np.abs(live) <= 10.0).all()
     # holes left by eviction are refilled by later inserts (no overflow)
     refill = np.array([[0.9, 0.2, 0.1], [28.9, 0.1, 0.2]], np.float32)
     g3 = grid_insert(g2, jnp.asarray(refill), jnp.ones(2, bool), 2.0, 0.4)
     assert int(jnp.sum(g3.cnt)) == 5
-    live3 = np.asarray(g3.pts).reshape(3, -1).T
+    live3 = np.asarray(g3.pts).reshape(-1, 3, cap).transpose(0, 2, 1).reshape(-1, 3)
     live3 = live3[live3[:, 0] < SENTINEL * 0.5]
     assert len(live3) == 5
 

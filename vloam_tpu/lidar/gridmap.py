@@ -61,17 +61,27 @@ def _hash_cell(ix, iy, iz, n_buckets):
 
 
 class FeatureGrid(NamedTuple):
-    """One feature class's map: SENTINEL-padded planar slabs + live counts.
+    """One feature class's map: SENTINEL-padded bucket rows + live counts.
     Slots are not kept contiguous (evict leaves holes; insert fills them);
-    `cnt` is the number of live points per bucket, used only for stats."""
+    `cnt` is the number of live points per bucket, used only for stats.
 
-    pts: jnp.ndarray  # [3, n_buckets, cap] f32 (x/y/z planes)
+    Row layout is INTERLEAVED: row b = [x_0..x_cap | y_0..y_cap | z_0..z_cap]
+    so one row gather fetches all three coordinate planes of a bucket. The
+    8-cell probe gather is bound by row descriptors, not bytes (measured
+    ~6-18 ns per gathered row regardless of width): 8 rows/query beats the
+    planar [3, nb, cap] layout's 24 by ~3x (scripts/profile_gather.py)."""
+
+    pts: jnp.ndarray  # [n_buckets, 3*cap] f32 interleaved x|y|z blocks
     cnt: jnp.ndarray  # [n_buckets] int32
+
+    @property
+    def cap(self) -> int:
+        return self.pts.shape[1] // 3
 
 
 def grid_create(n_buckets: int, cap: int) -> FeatureGrid:
     return FeatureGrid(
-        pts=jnp.full((3, n_buckets, cap), SENTINEL, jnp.float32),
+        pts=jnp.full((n_buckets, 3 * cap), SENTINEL, jnp.float32),
         cnt=jnp.zeros((n_buckets,), jnp.int32),
     )
 
@@ -88,11 +98,13 @@ def grid_insert(g: FeatureGrid, p: jnp.ndarray, mask: jnp.ndarray,
 
     `cell` must be an integer multiple of `res` (so a voxel never straddles
     a cell boundary and the per-bucket dup check is complete)."""
-    nb, cap = g.pts.shape[1], g.pts.shape[2]
+    nb, cap = g.pts.shape[0], g.cap
     B = p.shape[0]
     b = _bucket_of(p, cell, nb)  # [B]
     v = jnp.floor(p.T / res).astype(jnp.int32)  # [3, B]
-    slab = g.pts[:, b]  # [3, B, cap]
+    rows = g.pts[b]  # [B, 3*cap] (one interleaved gather)
+    slab = jnp.stack([rows[:, 0 * cap:1 * cap], rows[:, 1 * cap:2 * cap],
+                      rows[:, 2 * cap:3 * cap]])  # [3, B, cap]
     sv = jnp.floor(slab / res).astype(jnp.int32)
     dup = jnp.any(jnp.all(sv == v[:, :, None], axis=0), axis=-1)
     keep = mask & ~dup
@@ -114,7 +126,8 @@ def grid_insert(g: FeatureGrid, p: jnp.ndarray, mask: jnp.ndarray,
     pos = jnp.argmax(ge, axis=1).astype(jnp.int32)
     ok = (ks < nb) & (rank < fcsum[:, -1])
     dest_b = jnp.where(ok, ks, nb)  # nb = out of bounds -> dropped
-    pts = g.pts.at[:, dest_b, pos].set(p[order].T, mode="drop")
+    cols = jnp.stack([pos, pos + cap, pos + 2 * cap], axis=1)  # [B, 3]
+    pts = g.pts.at[dest_b[:, None], cols].set(p[order], mode="drop")
     added = jnp.bincount(jnp.where(ok, ks, nb), length=nb + 1)[:nb]
     return FeatureGrid(pts=pts, cnt=g.cnt + added.astype(jnp.int32))
 
@@ -126,21 +139,24 @@ def grid_evict(g: FeatureGrid, center: jnp.ndarray,
     one elementwise pass marking sentinels. Slots are NOT compacted —
     grid_insert fills holes — so eviction costs ~1 ms instead of the
     ~100 ms of any per-bucket compaction (sort or scatter) on the full map."""
-    live = g.pts[0] < SENTINEL * 0.5
+    cap = g.cap
+    xyz = g.pts.reshape(-1, 3, cap)  # [nb, 3, cap]
+    live = xyz[:, 0] < SENTINEL * 0.5
     inside = jnp.all(
-        jnp.abs(g.pts - center[:, None, None]) <= radius[:, None, None],
-        axis=0)
+        jnp.abs(xyz - center[None, :, None]) <= radius[None, :, None],
+        axis=1)  # [nb, cap]
     keep = live & inside
-    pts = jnp.where(keep[None], g.pts, SENTINEL)
+    pts = jnp.where(keep[:, None, :], xyz, SENTINEL).reshape(-1, 3 * cap)
     return FeatureGrid(pts=pts, cnt=jnp.sum(keep, axis=1).astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("cell", "k"))
-def grid_knn(g: FeatureGrid, queries: jnp.ndarray, cell: float, k: int = 5):
-    """k-NN among points within the 8-cell probe — exact for true neighbors
-    closer than cell/2. Returns (d_sq [Q,k] ascending, near [Q,k,3]); slots
-    beyond the candidate count return sentinel points with d_sq ~1e12."""
-    nb, cap = g.pts.shape[1], g.pts.shape[2]
+@partial(jax.jit, static_argnames=("cell",))
+def grid_gather(g: FeatureGrid, queries: jnp.ndarray, cell: float):
+    """Gather each query's 8-cell probe candidates: [3, Q, 8*cap] planar.
+    The gather is the expensive half of a k-NN query (random bucket rows
+    from HBM); callers that re-select under a slightly moved pose can reuse
+    one gather across solver rounds (see mapping.solve_mapping)."""
+    nb, cap = g.pts.shape[0], g.cap
     q = queries.shape[0]
     s = queries / cell
     c = jnp.floor(s).astype(jnp.int32)
@@ -153,19 +169,36 @@ def grid_knn(g: FeatureGrid, queries: jnp.ndarray, cell: float, k: int = 5):
                                      c[:, 1] + sy * off[:, 1],
                                      c[:, 2] + sz * off[:, 2], nb))
     buckets = jnp.stack(hs, axis=1)  # [Q, 8]
-    cand = g.pts[:, buckets].reshape(3, q, 8 * cap)  # planar candidates
+    rows = g.pts[buckets]  # [Q, 8, 3*cap] — 8 interleaved row gathers/query
+    planar = rows.reshape(q, 8, 3, cap)
+    return jnp.moveaxis(planar, 2, 0).reshape(3, q, 8 * cap)
+
+
+def knn_among(cand: jnp.ndarray, queries: jnp.ndarray, k: int = 5):
+    """k-NN among pre-gathered planar candidates [3, Q, C].
+    Returns (d_sq [Q,k] ascending, near [Q,k,3]); sentinel-padded slots
+    return d_sq ~1e12 and lose every comparison."""
     diff = cand - queries.T[:, :, None]
-    d = jnp.sum(diff * diff, axis=0)  # [Q, 8*cap], lanes on candidates
+    d = jnp.sum(diff * diff, axis=0)  # [Q, C], lanes on candidates
     nd, ni = jax.lax.top_k(-d, k)
     near = jnp.take_along_axis(cand, ni[None, :, :], axis=2)  # [3, Q, k]
-    return -nd, jnp.moveaxis(near, 0, 2)  # (d_sq [Q,k], near [Q,k,3])
+    return -nd, jnp.moveaxis(near, 0, 2)
+
+
+@partial(jax.jit, static_argnames=("cell", "k"))
+def grid_knn(g: FeatureGrid, queries: jnp.ndarray, cell: float, k: int = 5):
+    """k-NN among points within the 8-cell probe — exact for true neighbors
+    closer than cell/2. Returns (d_sq [Q,k] ascending, near [Q,k,3]); slots
+    beyond the candidate count return sentinel points with d_sq ~1e12."""
+    return knn_among(grid_gather(g, queries, cell), queries, k)
 
 
 def grid_export(g: FeatureGrid, max_points: int | None = None):
     """Download live points as a numpy [M, 3] array (one masked download)."""
     import numpy as np
 
-    pts = np.asarray(g.pts.reshape(-1)).reshape(3, -1).T
+    cap = g.cap
+    pts = np.asarray(g.pts).reshape(-1, 3, cap).transpose(0, 2, 1).reshape(-1, 3)
     live = pts[:, 0] < SENTINEL * 0.5
     out = pts[live]
     return out[:max_points] if max_points is not None else out

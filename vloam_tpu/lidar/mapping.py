@@ -38,7 +38,7 @@ from ..geometry import so3
 from ..solver.eig3 import eigvals_sym3, principal_eigenvector
 from ..solver.lm import ResidualFamily, lm_solve
 from .gridmap import (FeatureGrid, grid_create, grid_evict, grid_export,
-                      grid_insert, grid_knn)
+                      grid_gather, grid_insert, knn_among)
 from .types import FeatureCloud
 from .voxel import voxel_downsample
 
@@ -67,11 +67,13 @@ def _cube_coord(p: jnp.ndarray, cube_size: float) -> jnp.ndarray:
     return jnp.floor((p + cube_size / 2.0) / cube_size).astype(jnp.int32)
 
 
-def _corner_terms(stack_xyz, stack_mask, grid: FeatureGrid, x, cfg):
-    """Line features from 5-NN covariance (reference :472-517)."""
+def _corner_terms(stack_xyz, stack_mask, cand, x, cfg):
+    """Line features from 5-NN covariance (reference :472-517).
+    `cand` is the pre-gathered planar candidate slab [3, Q, 8*cap]
+    (grid_gather at the prediction pose; see solve_mapping)."""
     q, t = x[:4], x[4:]
     p_w = so3.quat_rotate(q, stack_xyz) + t
-    d, near = grid_knn(grid, p_w, cfg.corner_cell, k=cfg.knn)
+    d, near = knn_among(cand, p_w, k=cfg.knn)
     ok = stack_mask & (d[:, cfg.knn - 1] < cfg.neighbor_radius_sq)
     center = jnp.mean(near, axis=1)
     dm = near - center[:, None, :]
@@ -86,11 +88,12 @@ def _corner_terms(stack_xyz, stack_mask, grid: FeatureGrid, x, cfg):
     return a, b, de, valid
 
 
-def _surf_terms(stack_xyz, stack_mask, grid: FeatureGrid, x, cfg):
-    """Plane features from 5-NN LS fit A n = -1 (reference :538-581)."""
+def _surf_terms(stack_xyz, stack_mask, cand, x, cfg):
+    """Plane features from 5-NN LS fit A n = -1 (reference :538-581).
+    `cand` as in _corner_terms."""
     q, t = x[:4], x[4:]
     p_w = so3.quat_rotate(q, stack_xyz) + t
-    d, near = grid_knn(grid, p_w, cfg.surf_cell, k=cfg.knn)
+    d, near = knn_among(cand, p_w, k=cfg.knn)
     ok = stack_mask & (d[:, cfg.knn - 1] < cfg.neighbor_radius_sq)
     AtA = jnp.einsum("bki,bkj->bij", near, near)
     Atb = -jnp.sum(near, axis=1)  # A^T * (-1)
@@ -142,11 +145,22 @@ def solve_mapping(
     )
 
     def do_solve(x):
+        # One candidate gather per frame at the prediction pose, reused by
+        # both outer rounds: the gather (random bucket rows from HBM) is the
+        # expensive half of each 5-NN; between rounds the pose moves well
+        # under the 1 m cell margin, so the probe set is unchanged for all
+        # but boundary-straddling points (the reference re-runs its KD-tree
+        # query each round, laser_mapping.cpp:458; a missed marginal
+        # neighbor at worst drops that residual).
+        pc0 = so3.quat_rotate(x[:4], corner_stack_xyz) + x[4:]
+        cand_c = grid_gather(grid_map.corner, pc0, cfg.corner_cell)
+        ps0 = so3.quat_rotate(x[:4], surf_stack_xyz) + x[4:]
+        cand_s = grid_gather(grid_map.surf, ps0, cfg.surf_cell)
         for _ in range(cfg.outer_rounds):
             a, b, de, v_c = _corner_terms(
-                corner_stack_xyz, corner_stack_mask, grid_map.corner, x, cfg)
+                corner_stack_xyz, corner_stack_mask, cand_c, x, cfg)
             n_hat, nood, v_s = _surf_terms(
-                surf_stack_xyz, surf_stack_mask, grid_map.surf, x, cfg)
+                surf_stack_xyz, surf_stack_mask, cand_s, x, cfg)
 
             def make_families(xx):
                 def edge_fn(delta):

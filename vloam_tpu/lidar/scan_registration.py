@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..config import LidarProfile, ScanRegistrationConfig
 from .types import FeatureCloud, ScanFeatures
-from .voxel import voxel_downsample
+from .voxel import voxel_downsample_rows
 
 _2PI = 2.0 * math.pi
 
@@ -273,43 +273,47 @@ def _features_from_layout(pts, rt, counts, cfg: ScanRegistrationConfig
     ring_ids = jnp.broadcast_to(jnp.arange(S)[:, None], (S, R))
     exists = jnp.arange(R)[None, :] < counts[:, None]
 
-    flat_xyz = pts.reshape(-1, 3)
-    flat_ring = ring_ids.reshape(-1)
-    flat_rt = rt.reshape(-1)
-    flat_label = label.reshape(-1)
-    flat_sel = selectable.reshape(-1)
-    flat_exists = exists.reshape(-1)
+    # Per-ring label partition: one row-wise multi-operand sort by group key
+    # (0=sharp, 1=less-sharp, 2=flat, 3=rest) replaces the previous S*R-point
+    # global argsort (rings are independent; row-wise sorting is several
+    # times cheaper on the chip). Each cloud is then a fixed per-ring block
+    # — sharp is a prefix of less-sharp, flat the following group — flattened
+    # with masks; capacity splits evenly across rings (cap // S per ring),
+    # which also degrades overflow gracefully (the old global truncation
+    # dropped entire trailing rings).
+    group = jnp.where(label == 2, 0,
+                      jnp.where(label == 1, 1,
+                                jnp.where(label == -1, 2, 3)))  # [S, R]
+    g_s, x_s, y_s, z_s, rt_s = jax.lax.sort(
+        (group, pts[..., 0], pts[..., 1], pts[..., 2], rt),
+        num_keys=1, dimension=1)
+    pts_s = jnp.stack([x_s, y_s, z_s], axis=-1)  # [S, R, 3]
+    n_sharp_r = jnp.sum(group == 0, axis=1)  # [S]
+    n_less_r = jnp.sum(group == 1, axis=1)
+    n_flat_r = jnp.sum(group == 2, axis=1)
 
-    # one label-partition sort serves all three compacted clouds (sharp is a
-    # prefix of less-sharp, flat is the following group) instead of three
-    # independent N-point sorts
-    n = flat_label.shape[0]
-    group = jnp.where(flat_label == 2, 0,
-                      jnp.where(flat_label == 1, 1,
-                                jnp.where(flat_label == -1, 2, 3)))
-    order = jnp.argsort(group * n + jnp.arange(n))
-    n_sharp = jnp.sum(group == 0)
-    n_less = jnp.sum(group == 1)
-    n_flat = jnp.sum(group == 2)
-
-    def slice_group(start, count, cap):
-        sel = order[jnp.clip(start + jnp.arange(cap), 0, n - 1)]
-        m = jnp.arange(cap) < jnp.minimum(count, cap)
+    def slice_rows(start_r, count_r, cap):
+        per = cap // S
+        cols = jnp.clip(start_r[:, None] + jnp.arange(per)[None, :], 0, R - 1)
+        m = (jnp.arange(per)[None, :] < jnp.minimum(count_r, per)[:, None])
+        xyz_b = jnp.take_along_axis(pts_s, cols[:, :, None], axis=1)
+        rt_b = jnp.take_along_axis(rt_s, cols, axis=1)
         return FeatureCloud(
-            xyz=jnp.where(m[:, None], flat_xyz[sel], 0.0),
-            ring=jnp.where(m, flat_ring[sel], 0).astype(jnp.int32),
-            rel_time=jnp.where(m, flat_rt[sel], 0.0),
-            mask=m,
+            xyz=jnp.where(m[:, :, None], xyz_b, 0.0).reshape(cap, 3),
+            ring=jnp.where(m, ring_ids[:, :per], 0).reshape(cap),
+            rel_time=jnp.where(m, rt_b, 0.0).reshape(cap),
+            mask=m.reshape(cap),
         )
 
-    sharp = slice_group(jnp.int32(0), n_sharp, cfg.sharp_cap)
-    less_sharp = slice_group(jnp.int32(0), n_sharp + n_less, cfg.less_sharp_cap)
-    flat = slice_group(n_sharp + n_less, n_flat, cfg.flat_cap)
+    zero_r = jnp.zeros((S,), jnp.int32)
+    sharp = slice_rows(zero_r, n_sharp_r, cfg.sharp_cap)
+    less_sharp = slice_rows(zero_r, n_sharp_r + n_less_r, cfg.less_sharp_cap)
+    flat = slice_rows(n_sharp_r + n_less_r, n_flat_r, cfg.flat_cap)
 
-    lf_mask = flat_sel & (flat_label <= 0)
-    lf_xyz, lf_extra, lf_ring, lf_m = voxel_downsample(
-        flat_xyz, lf_mask, cfg.less_flat_leaf, cfg.less_flat_cap,
-        partition=flat_ring, extra=flat_rt[:, None],
+    lf_mask = selectable & (label <= 0)
+    lf_xyz, lf_extra, lf_ring, lf_m = voxel_downsample_rows(
+        pts, lf_mask, cfg.less_flat_leaf, cfg.less_flat_cap,
+        extra=rt[..., None],
     )
     less_flat = FeatureCloud(
         xyz=jnp.where(lf_m[:, None], lf_xyz, 0.0),
@@ -318,9 +322,29 @@ def _features_from_layout(pts, rt, counts, cfg: ScanRegistrationConfig
         mask=lf_m,
     )
 
-    full = FeatureCloud(xyz=flat_xyz, ring=flat_ring, rel_time=flat_rt, mask=flat_exists)
-    return ScanFeatures(sharp=sharp, less_sharp=less_sharp, flat=flat,
-                        less_flat=less_flat, full=full)
+    full = FeatureCloud(xyz=pts.reshape(-1, 3), ring=ring_ids.reshape(-1),
+                        rel_time=rt.reshape(-1), mask=exists.reshape(-1))
+
+    def _compact(fc):
+        # Prefix-compact valid entries. The per-ring block layout above
+        # interleaves masked slots among valid points; downstream the LO
+        # association shortlist uses lax.approx_min_k (knn.py), a partial
+        # reduction whose recall beyond top-1 depends on how valid
+        # candidates are distributed across its bins — interleaved padding
+        # measurably degrades it (100-frame synthetic MO ATE 0.12 -> 0.59 m).
+        # One small multi-operand sort per cloud (<=8k rows) restores the
+        # dense-prefix layout the shortlist (and any future approx op) sees.
+        n = fc.mask.shape[0]
+        key = jnp.where(fc.mask, jnp.arange(n, dtype=jnp.int32), n)
+        _, x_c, y_c, z_c, r_c, rt_c, m_c = jax.lax.sort(
+            (key, fc.xyz[:, 0], fc.xyz[:, 1], fc.xyz[:, 2],
+             fc.ring, fc.rel_time, fc.mask.astype(jnp.int32)),
+            num_keys=1, dimension=0)
+        return FeatureCloud(xyz=jnp.stack([x_c, y_c, z_c], axis=-1),
+                            ring=r_c, rel_time=rt_c, mask=m_c > 0)
+
+    return ScanFeatures(sharp=_compact(sharp), less_sharp=_compact(less_sharp),
+                        flat=_compact(flat), less_flat=less_flat, full=full)
 
 
 @partial(jax.jit, static_argnames=("profile", "cfg"))
@@ -374,13 +398,17 @@ def register_scan_polar(
     ], axis=-1) * r[:, :, None]  # [S, A, 3]
     rel = jnp.broadcast_to((jnp.arange(A) / A)[None, :], (S, A))
 
-    # compact valid returns to the front of each ring (stable)
-    col = jnp.arange(A)[None, :]
+    # compact valid returns to the front of each ring: one stable row-wise
+    # multi-operand sort (payload carried through the sort network — no
+    # post-sort gathers)
+    col = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (S, A))
     key = jnp.where(valid, col, A)
-    order = jnp.argsort(key, axis=1)
-    pts = jnp.take_along_axis(xyz, order[:, :, None], axis=1)
-    v_s = jnp.take_along_axis(valid, order, axis=1)
-    pts = jnp.where(v_s[:, :, None], pts, 0.0)
-    rt = jnp.where(v_s, jnp.take_along_axis(rel, order, axis=1), 0.0)
+    _, x_s, y_s, z_s, rel_s, v_s = jax.lax.sort(
+        (key, xyz[..., 0], xyz[..., 1], xyz[..., 2], rel,
+         valid.astype(jnp.int32)),
+        num_keys=1, dimension=1)
+    ok = v_s > 0
+    pts = jnp.where(ok[:, :, None], jnp.stack([x_s, y_s, z_s], axis=-1), 0.0)
+    rt = jnp.where(ok, rel_s, 0.0)
     counts = jnp.sum(valid, axis=1).astype(jnp.int32)
     return _features_from_layout(pts, rt, counts, cfg)

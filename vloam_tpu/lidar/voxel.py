@@ -37,6 +37,43 @@ def _hash_cells(ix, iy, iz, part):
     return h
 
 
+def _segment_tail(hs, xs, es, ps, ms, out_cap, n_extra, dtype,
+                  sorted_ids: bool):
+    """Shared post-sort reduction: segment-mean runs of equal hash keys.
+    Inputs are hash-sorted flat arrays (equal keys adjacent). sorted_ids
+    must be False when invalid runs are interleaved between valid ones (the
+    row-wise sort leaves each row's invalid tail in place, so the flattened
+    seg ids are NOT monotone — segment ops must not assume sortedness)."""
+    is_start = jnp.concatenate([jnp.ones((1,), bool), hs[1:] != hs[:-1]]) & ms
+    seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # -1 until first valid
+    seg_id = jnp.where(ms, seg_id, out_cap)  # drop invalid
+    n_seg = jnp.max(jnp.where(ms, seg_id + 1, 0))
+
+    ones = ms.astype(dtype)
+    # one fused sorted-scatter for counts+coords(+extras): [N, 4+E]
+    payload = jnp.concatenate(
+        [ones[:, None], xs * ones[:, None]]
+        + ([es * ones[:, None]] if es is not None else []), axis=1)
+    sums = jax.ops.segment_sum(payload, seg_id, num_segments=out_cap + 1,
+                               indices_are_sorted=sorted_ids)[:out_cap]
+    counts = sums[:, 0]
+    denom = jnp.maximum(counts, 1.0)[:, None]
+    out_xyz = sums[:, 1:4] / denom
+    out_extra = sums[:, 4:4 + n_extra] / denom if n_extra else None
+
+    # partition id of the voxel = min over members (constant within a voxel
+    # when partition participates in the hash, modulo collisions).
+    big = jnp.int32(2**30)
+    out_part = jax.ops.segment_min(
+        jnp.where(ms, ps, big), seg_id, num_segments=out_cap + 1,
+        indices_are_sorted=sorted_ids,
+    )[:out_cap]
+    out_part = jnp.where(counts > 0, out_part, 0).astype(jnp.int32)
+
+    out_mask = jnp.arange(out_cap) < jnp.minimum(n_seg, out_cap)
+    return out_xyz, out_extra, out_part, out_mask
+
+
 def voxel_downsample(
     xyz: jnp.ndarray,
     mask: jnp.ndarray,
@@ -74,32 +111,41 @@ def voxel_downsample(
     es = (jnp.stack(sorted_ops[4:4 + n_extra], axis=1) if n_extra else None)
     ps = sorted_ops[4 + n_extra]
     ms = sorted_ops[5 + n_extra] > 0
+    return _segment_tail(hs, xs, es, ps, ms, out_cap, n_extra, xyz.dtype,
+                         sorted_ids=True)
 
-    is_start = jnp.concatenate([jnp.ones((1,), bool), hs[1:] != hs[:-1]]) & ms
-    seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # -1 until first valid
-    seg_id = jnp.where(ms, seg_id, out_cap)  # drop invalid
-    n_seg = jnp.max(jnp.where(ms, seg_id + 1, 0))
 
-    ones = ms.astype(xyz.dtype)
-    # one fused sorted-scatter for counts+coords(+extras): [N, 4+E]
-    payload = jnp.concatenate(
-        [ones[:, None], xs * ones[:, None]]
-        + ([es * ones[:, None]] if es is not None else []), axis=1)
-    sums = jax.ops.segment_sum(payload, seg_id, num_segments=out_cap + 1,
-                               indices_are_sorted=True)[:out_cap]
-    counts = sums[:, 0]
-    denom = jnp.maximum(counts, 1.0)[:, None]
-    out_xyz = sums[:, 1:4] / denom
-    out_extra = sums[:, 4:4 + n_extra] / denom if n_extra else None
+def voxel_downsample_rows(
+    pts: jnp.ndarray,  # [S, R, 3] per-ring layout
+    mask: jnp.ndarray,  # [S, R]
+    leaf: float,
+    out_cap: int,
+    extra: jnp.ndarray | None = None,  # [S, R, E]
+):
+    """voxel_downsample specialized for the dense per-ring layout, with the
+    row index as the partition (the reference's per-ring VoxelGrid,
+    scan_registration.cpp:433-439).
 
-    # partition id of the voxel = min over members (constant within a voxel
-    # when partition participates in the hash, modulo collisions).
-    big = jnp.int32(2**30)
-    out_part = jax.ops.segment_min(
-        jnp.where(ms, ps, big), seg_id, num_segments=out_cap + 1,
-        indices_are_sorted=True,
-    )[:out_cap]
-    out_part = jnp.where(counts > 0, out_part, 0).astype(jnp.int32)
+    The global N-point sort becomes a row-wise [S, R] sort (hashes embed the
+    ring id, so equal-hash runs never cross rows and the flattened row-major
+    stream feeds the same segment reduction) — on the target chip row-wise
+    sorting S independent rings is several times cheaper than one S*R sort."""
+    S, R = pts.shape[0], pts.shape[1]
+    part = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None], (S, R))
+    cell = jnp.floor(pts / leaf).astype(jnp.int32)
+    h = _hash_cells(cell[..., 0], cell[..., 1], cell[..., 2], part)
+    h = jnp.where(mask, h, jnp.uint32(0xFFFFFFFF))
 
-    out_mask = jnp.arange(out_cap) < jnp.minimum(n_seg, out_cap)
-    return out_xyz, out_extra, out_part, out_mask
+    n_extra = 0 if extra is None else extra.shape[2]
+    operands = (h, pts[..., 0], pts[..., 1], pts[..., 2],
+                *(extra[..., j] for j in range(n_extra)),
+                part, mask.astype(jnp.int32))
+    sorted_ops = jax.lax.sort(operands, num_keys=1, dimension=1)
+    hs = sorted_ops[0].reshape(-1)
+    xs = jnp.stack([o.reshape(-1) for o in sorted_ops[1:4]], axis=1)
+    es = (jnp.stack([o.reshape(-1) for o in sorted_ops[4:4 + n_extra]], axis=1)
+          if n_extra else None)
+    ps = sorted_ops[4 + n_extra].reshape(-1)
+    ms = sorted_ops[5 + n_extra].reshape(-1) > 0
+    return _segment_tail(hs, xs, es, ps, ms, out_cap, n_extra, pts.dtype,
+                         sorted_ids=False)
