@@ -124,3 +124,76 @@ def test_solve_vo_recovers_motion_synthetic_points(rng):
     assert int(n32) > 50
     np.testing.assert_allclose(np.asarray(angles), w_true, atol=5e-3)
     np.testing.assert_allclose(np.asarray(t), t_true, atol=0.15)
+
+
+def test_alternative_detectors_fire():
+    """Every reference DetectorType alternative (image_util.cpp:37-72)
+    produces keypoints on a textured frame."""
+    img, *_ = make_frame(5)
+    im = jnp.asarray(img)
+    for det in ("orb", "brisk", "sift", "akaze", "fast"):
+        cfg = VisualOdometryConfig(
+            img_width=320, img_height=96, max_keypoints=256, max_matches=512,
+            detector=det, fast_threshold=0.06)
+        xy, score, mask = features.detect_keypoints(im, cfg)
+        n = int(np.asarray(mask).sum())
+        assert n > 10, (det, n)
+        pts = np.asarray(xy)[np.asarray(mask)]
+        assert (pts[:, 0] < 320).all() and (pts[:, 1] < 96).all(), det
+
+
+def test_orb_descriptor_matches_under_rotation():
+    """Oriented BRIEF self-matches and survives an in-plane rotation that
+    breaks unoriented patches (the point of the IC-angle steering)."""
+    img, *_ = make_frame(6)
+    im = jnp.asarray(img)
+    cfg = VisualOdometryConfig(
+        img_width=320, img_height=96, max_keypoints=128, max_matches=256,
+        descriptor="orb")
+    xy, score, mask = features.detect_keypoints(im, cfg)
+    desc = features.describe_keypoints(im, xy, cfg)
+    # rows are +-1/sqrt(256): unit norm, so Hamming = (1 - dot) * 128
+    norms = np.linalg.norm(np.asarray(desc), axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-5)
+    idx, ok = features.match_descriptors(desc, mask, desc, mask, 0.9)
+    ok = np.asarray(ok)
+    hit = np.asarray(idx)[ok] == np.arange(len(ok))[ok]
+    assert hit.mean() > 0.9
+
+    # rotate 90 deg (exact, no resampling blur) and re-describe
+    img_r = np.rot90(np.asarray(im)).copy()
+    cfg_r = VisualOdometryConfig(
+        img_width=96, img_height=320, max_keypoints=128, max_matches=256,
+        descriptor="orb")
+    h = im.shape[0]
+    # keypoint (x,y) -> rot90 coords (y', x') = (w-1-x? ) : rot90 maps
+    # (row r, col c) -> (row W-1-c, col r)  for np.rot90(img) [H,W]->[W,H]
+    xy_np = np.asarray(xy)
+    xy_r = np.stack([xy_np[:, 1], im.shape[1] - 1 - xy_np[:, 0]], axis=1)
+    inb = (xy_r[:, 0] > 16) & (xy_r[:, 0] < 320 - 16) & \
+          (xy_r[:, 1] > 16) & (xy_r[:, 1] < 96 - 16)
+    desc_r = features.describe_keypoints(
+        jnp.asarray(img_r), jnp.asarray(xy_r, np.float32), cfg_r)
+    m = np.asarray(mask) & inb
+    idx2, ok2 = features.match_descriptors(
+        desc, jnp.asarray(m), desc_r, jnp.asarray(m), 0.9)
+    sel = np.asarray(ok2) & m
+    if sel.sum() >= 5:
+        hit2 = np.asarray(idx2)[sel] == np.arange(len(sel))[sel]
+        assert hit2.mean() > 0.6, hit2.mean()
+
+
+def test_flann_and_nn_matcher_modes():
+    img, *_ = make_frame(7)
+    im = jnp.asarray(img)
+    xy, score, mask = features.detect_keypoints(im, CFG)
+    desc = features.describe_keypoints(im, xy, CFG)
+    idx_f, ok_f = features.match_descriptors(desc, mask, desc, mask, 0.9,
+                                             matcher="flann")
+    okf = np.asarray(ok_f)
+    hit = np.asarray(idx_f)[okf] == np.arange(len(okf))[okf]
+    assert hit.mean() > 0.9  # approximate NN still finds exact self-matches
+    idx_n, ok_n = features.match_descriptors(desc, mask, desc, mask, 0.9,
+                                             select="nn")
+    # NN keeps every masked query (no ratio rejection)
+    assert bool(np.all(np.asarray(ok_n) == np.asarray(mask)))

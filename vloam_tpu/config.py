@@ -122,7 +122,13 @@ class VisualOdometryConfig:
 
     img_width: int = 1242
     img_height: int = 375
-    detector: str = "shi_tomasi"  # image_util DetectorType: shi_tomasi | fast
+    # image_util.h DetectorType (:16-23): ShiTomasi|FAST|ORB|BRISK|SIFT|AKAZE
+    detector: str = "shi_tomasi"  # | fast | orb | brisk | sift | akaze
+    # image_util.h DescriptorType (:25-31): zncc (TPU patch matmul) | orb
+    # (oriented BRIEF-256, Hamming-via-matmul)
+    descriptor: str = "zncc"
+    matcher: str = "bf"  # image_util.h MatcherType: bf (exact) | flann (approx_max_k)
+    match_select: str = "knn"  # image_util.h SelectType: knn (ratio test) | nn
     fast_threshold: float = 100.0 / 255.0  # image_util.cpp:39 (uint8 scale)
     max_keypoints: int = 1024  # image_util.cpp:20
     shi_tomasi_block: int = 5  # image_util.cpp:15

@@ -1,16 +1,30 @@
-"""Shi-Tomasi corner detection + ZNCC patch descriptors + MXU matching.
+"""Keypoint detection + descriptors + MXU matching.
 
 TPU-native replacement for the reference's OpenCV feature pipeline
 (image_util.cpp):
 
 - detKeypoints (:12-36): cv::goodFeaturesToTrack with maxCorners=1024,
   quality 0.03, minDistance 7.5, blockSize 5 -> Sobel gradients + box-filter
-  structure tensor + min-eigenvalue response + maxpool NMS + top-k,
-- descKeypoints (:162-212, ORB): replaced by a 16x16 zero-normalized patch
-  descriptor — binary Hamming matching is hostile to the MXU, while ZNCC
-  patch correlation IS a matmul; ratio-test semantics are preserved,
-- matchDescriptors (:214-296): BF KNN(k=2) + 0.8 ratio test -> one [K0,K1]
-  similarity matmul + top-2 + ratio test.
+  structure tensor + min-eigenvalue response + maxpool NMS + top-k.
+  The reference's alternative DetectorTypes (:37-72) map to TPU-native
+  response maps sharing the same NMS/top-k tail:
+    FAST  -> fast_response (contiguous-arc test, vectorized over all pixels)
+    ORB   -> FAST gate scored by the Harris measure (cv::ORB HARRIS_SCORE)
+    BRISK -> multi-scale FAST over a mean-pooled pyramid (AGAST stand-in)
+    SIFT  -> difference-of-Gaussians scale-space extrema
+    AKAZE -> scale-normalized determinant-of-Hessian over smoothed scales
+      (the nonlinear-diffusion scale space is host-hostile; det-Hessian is
+      the same blob measure KAZE thresholds)
+- descKeypoints (:162-212, ORB): two TPU descriptors. Default is a 16x16
+  zero-normalized patch (ZNCC correlation IS a matmul). `descriptor="orb"`
+  is a faithful oriented-BRIEF-256: intensity-centroid orientation, rotated
+  point pairs, bits stored as +-1/sqrt(n) so one similarity MATMUL computes
+  Hamming distance (sim = 1 - 2*ham/n) — binary matching on the MXU instead
+  of VPU popcounts.
+- matchDescriptors (:214-296): MatcherType BF -> exact lax.top_k over the
+  similarity matmul; FLANN (approximate NN) -> lax.approx_max_k, the TPU's
+  native approximate-NN instruction. SelectType KNN -> ratio test (:270-283),
+  NN -> best match only (:264-268).
 
 Images are float32 [H, W] in [0, 1].
 """
@@ -21,6 +35,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import VisualOdometryConfig
 
@@ -135,6 +150,95 @@ def min_eig_response(img: jnp.ndarray, block: int) -> jnp.ndarray:
     return tr - det_term
 
 
+def harris_response(img: jnp.ndarray, block: int, k: float = 0.04) -> jnp.ndarray:
+    """Harris corner measure det(M) - k tr(M)^2 (cv::ORB HARRIS_SCORE)."""
+    gx = _conv2_same(img, _SOBEL_X)
+    gy = _conv2_same(img, _SOBEL_Y)
+    a = _box_filter(gx * gx, block)
+    b = _box_filter(gx * gy, block)
+    c = _box_filter(gy * gy, block)
+    return a * c - b * b - k * (a + c) ** 2
+
+
+def _gauss_kernel_1d(sigma: float) -> jnp.ndarray:
+    r = max(1, int(3.0 * sigma + 0.5))
+    x = np.arange(-r, r + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return jnp.asarray(k / k.sum())
+
+
+def gauss_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur with a static kernel (radius = 3 sigma)."""
+    k = _gauss_kernel_1d(sigma)
+    h = jax.scipy.signal.convolve(img, k[None, :], mode="same")
+    return jax.scipy.signal.convolve(h, k[:, None], mode="same")
+
+
+def dog_response(img: jnp.ndarray, base_sigma: float = 1.6,
+                 n_scales: int = 4) -> jnp.ndarray:
+    """SIFT-style difference-of-Gaussians scale-space extremum response
+    (reference SIFT DetectorType, image_util.cpp:60-63): |DoG| at pixels
+    that are 3x3 spatial local maxima of |DoG| AND exceed the adjacent DoG
+    scales, maxed over the scale axis."""
+    sigmas = [base_sigma * (2.0 ** (i / 2.0)) for i in range(n_scales)]
+    blurs = [gauss_blur(img, s) for s in sigmas]
+    dogs = jnp.stack([blurs[i + 1] - blurs[i]
+                      for i in range(n_scales - 1)])  # [S-1, H, W]
+    mag = jnp.abs(dogs)
+    pooled = jax.lax.reduce_window(mag, -jnp.inf, jax.lax.max,
+                                   (1, 3, 3), (1, 1, 1), "SAME")
+    spatial_peak = mag >= pooled
+    lo = jnp.concatenate([jnp.full_like(mag[:1], -jnp.inf), mag[:-1]])
+    hi = jnp.concatenate([mag[1:], jnp.full_like(mag[:1], -jnp.inf)])
+    scale_peak = (mag >= lo) & (mag >= hi)
+    resp = jnp.where(spatial_peak & scale_peak, mag, 0.0)
+    return jnp.max(resp, axis=0)
+
+
+def hessian_response(img: jnp.ndarray,
+                     sigmas: tuple = (1.6, 3.2, 6.4)) -> jnp.ndarray:
+    """Scale-normalized determinant of Hessian, maxed over scales (the blob
+    measure AKAZE thresholds; reference AKAZE DetectorType,
+    image_util.cpp:56-59 — the nonlinear-diffusion scale space is replaced
+    by Gaussian scales, which XLA fuses into a few convs)."""
+    out = None
+    for s in sigmas:
+        L = gauss_blur(img, s)
+        lx = _conv2_same(L, _SOBEL_X)
+        ly = _conv2_same(L, _SOBEL_Y)
+        lxx = _conv2_same(lx, _SOBEL_X)
+        lyy = _conv2_same(ly, _SOBEL_Y)
+        lxy = _conv2_same(lx, _SOBEL_Y)
+        det = (s * s) ** 2 * (lxx * lyy - lxy * lxy)
+        out = det if out is None else jnp.maximum(out, det)
+    return out
+
+
+def _mean_pool2(img: jnp.ndarray) -> jnp.ndarray:
+    h, w = img.shape
+    return img[: h - h % 2, : w - w % 2].reshape(h // 2, 2, w // 2, 2).mean(
+        axis=(1, 3))
+
+
+def multiscale_fast_response(img: jnp.ndarray, threshold: float,
+                             n_levels: int = 3) -> jnp.ndarray:
+    """BRISK stand-in (reference image_util.cpp:48-51): FAST over a
+    mean-pooled pyramid; coarse responses are nearest-upsampled and maxed
+    so keypoint coordinates stay full-resolution."""
+    resp = fast_response(img, threshold)
+    level = img
+    for lvl in range(1, n_levels):
+        level = _mean_pool2(level)
+        r = fast_response(level, threshold)
+        f = 2 ** lvl
+        up = jnp.repeat(jnp.repeat(r, f, axis=0), f, axis=1)
+        up = up[: img.shape[0], : img.shape[1]]
+        up = jnp.pad(up, ((0, img.shape[0] - up.shape[0]),
+                          (0, img.shape[1] - up.shape[1])))
+        resp = jnp.maximum(resp, up)
+    return resp
+
+
 # FAST-16 Bresenham circle offsets (dy, dx)
 _FAST_CIRCLE = (
     (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
@@ -180,6 +284,16 @@ def detect_keypoints(img: jnp.ndarray, cfg: VisualOdometryConfig):
     K = cfg.max_keypoints."""
     if cfg.detector == "fast":
         resp = fast_response(img, cfg.fast_threshold)
+    elif cfg.detector == "orb":
+        # cv::ORB: FAST candidates ranked by the Harris measure (:41-47)
+        gate = fast_response(img, cfg.fast_threshold) > 0.0
+        resp = jnp.where(gate, harris_response(img, cfg.shi_tomasi_block), 0.0)
+    elif cfg.detector == "brisk":
+        resp = multiscale_fast_response(img, cfg.fast_threshold)
+    elif cfg.detector == "sift":
+        resp = dog_response(img)
+    elif cfg.detector == "akaze":
+        resp = hessian_response(img)
     else:
         resp = min_eig_response(img, cfg.shi_tomasi_block)
     h, w = resp.shape
@@ -213,7 +327,11 @@ def detect_keypoints(img: jnp.ndarray, cfg: VisualOdometryConfig):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def describe_keypoints(img: jnp.ndarray, xy: jnp.ndarray, cfg: VisualOdometryConfig):
-    """ZNCC patch descriptors: [K, P*P] unit-normalized."""
+    """Unit-norm descriptors [K, D]; rows are directly matmul-matchable.
+    descriptor="zncc": zero-normalized P*P patch; "orb": oriented BRIEF
+    bits as +-1/sqrt(n)."""
+    if getattr(cfg, "descriptor", "zncc") == "orb":
+        return orb_describe(img, xy, cfg)
     p = cfg.descriptor_patch
     offs = jnp.arange(p) - p // 2
 
@@ -230,20 +348,92 @@ def describe_keypoints(img: jnp.ndarray, xy: jnp.ndarray, cfg: VisualOdometryCon
     return jax.vmap(one)(xy)
 
 
-@partial(jax.jit, static_argnames=("ratio",))
+# ---- oriented BRIEF (the reference's ORB descriptor, image_util.cpp:166) --
+
+_ORB_PATCH = 31  # cv::ORB patch size
+
+
+def _brief_pairs(n_bits: int, patch: int):
+    """Static BRIEF-II sampling pattern: Gaussian(0, patch/5) point pairs
+    (the distribution cv::ORB's learned pattern was trained from)."""
+    rng = np.random.default_rng(0x16833)
+    lim = patch // 2 - 1
+    pts = np.clip(rng.normal(0.0, patch / 5.0, (2, n_bits, 2)),
+                  -lim, lim).astype(np.float32)
+    return jnp.asarray(pts[0]), jnp.asarray(pts[1])  # each [n_bits, 2] (x,y)
+
+
+def _ic_angle_grids(patch: int):
+    r = patch // 2
+    ys, xs = np.mgrid[-r:r + 1, -r:r + 1].astype(np.float32)
+    circ = (xs * xs + ys * ys <= r * r).astype(np.float32)
+    return jnp.asarray(xs * circ), jnp.asarray(ys * circ)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_bits"))
+def orb_describe(img: jnp.ndarray, xy: jnp.ndarray,
+                 cfg: VisualOdometryConfig, n_bits: int = 256):
+    """Oriented BRIEF-256 (rBRIEF): per keypoint, intensity-centroid
+    orientation over a radius-15 disc (cv::ORB IC_Angle), BRIEF point pairs
+    rotated by that angle, each bit I(a) > I(b) stored as +-1/sqrt(n).
+
+    Stored this way, binary matching runs on the MXU: for unit rows
+    sim = 1 - 2*ham/n_bits, so the similarity matmul in match_descriptors
+    ranks candidates exactly as Hamming distance does (image_util.cpp:237
+    BFMatcher(NORM_HAMMING))."""
+    p = _ORB_PATCH
+    ax, ay = _brief_pairs(n_bits, p)
+    gx, gy = _ic_angle_grids(p)
+    half = p // 2
+    scale = 1.0 / float(np.sqrt(n_bits))
+
+    def one(pt):
+        x0 = pt[0].astype(jnp.int32) - half
+        y0 = pt[1].astype(jnp.int32) - half
+        patch = jax.lax.dynamic_slice(img, (y0, x0), (p, p))
+        m10 = jnp.sum(patch * gx)
+        m01 = jnp.sum(patch * gy)
+        theta = jnp.arctan2(m01, m10)
+        c, s = jnp.cos(theta), jnp.sin(theta)
+
+        def sample(offs):  # offs [n_bits, 2] (x, y) -> intensities
+            rx = c * offs[:, 0] - s * offs[:, 1]
+            ry = s * offs[:, 0] + c * offs[:, 1]
+            ix = jnp.clip(jnp.round(rx).astype(jnp.int32) + half, 0, p - 1)
+            iy = jnp.clip(jnp.round(ry).astype(jnp.int32) + half, 0, p - 1)
+            return patch[iy, ix]
+
+        bits = sample(ax) > sample(ay)
+        return jnp.where(bits, scale, -scale)
+
+    return jax.vmap(one)(xy)
+
+
+@partial(jax.jit, static_argnames=("ratio", "matcher", "select"))
 def match_descriptors(
     desc0: jnp.ndarray, mask0: jnp.ndarray,
     desc1: jnp.ndarray, mask1: jnp.ndarray,
     ratio: float = 0.8,
+    matcher: str = "bf",
+    select: str = "knn",
 ):
-    """KNN(k=2) + ratio test on ZNCC distance (matchDescriptors semantics,
-    image_util.cpp:270-283). Returns (idx1 [K0], valid [K0]): for each
-    prev-frame descriptor its current-frame match."""
+    """Descriptor matching (matchDescriptors, image_util.cpp:214-296) on one
+    [K0, K1] similarity matmul. matcher: "bf" = exact top-k (BFMatcher);
+    "flann" = lax.approx_max_k, the TPU's approximate-NN instruction (the
+    FLANN analogue: trades exactness for speed, image_util.cpp:240-249).
+    select: "knn" = KNN(k=2) + ratio test (:270-283); "nn" = best match
+    only (:264-268). Returns (idx1 [K0], valid [K0])."""
     sim = jnp.dot(desc0, desc1.T, preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.HIGHEST)
     d = jnp.sqrt(jnp.maximum(2.0 - 2.0 * sim, 0.0))
     d = jnp.where(mask1[None, :], d, jnp.inf)
-    nd, ni = jax.lax.top_k(-d, 2)
+    if matcher == "flann":
+        nd, ni = jax.lax.approx_max_k(-d, 2)
+    else:
+        nd, ni = jax.lax.top_k(-d, 2)
     d1, d2 = -nd[:, 0], -nd[:, 1]
-    valid = mask0 & jnp.isfinite(d1) & (d1 < ratio * d2)
+    if select == "nn":
+        valid = mask0 & jnp.isfinite(d1)
+    else:
+        valid = mask0 & jnp.isfinite(d1) & (d1 < ratio * d2)
     return ni[:, 0], valid

@@ -160,7 +160,8 @@ class VisualOdometry:
         else:
             idx1, ok = features.match_descriptors(
                 self.desc[j], self.kp_mask[j], self.desc[i], self.kp_mask[i],
-                self.cfg.match_ratio,
+                self.cfg.match_ratio, matcher=self.cfg.matcher,
+                select=self.cfg.match_select,
             )
             prev_uv = self.kp[j]
             curr_uv = self.kp[i][idx1]

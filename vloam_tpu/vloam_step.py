@@ -151,7 +151,8 @@ def vloam_frame_step(
     else:
         idx1, ok = features.match_descriptors(
             state.prev_desc, state.prev_kp_mask, desc, kp_mask,
-            cfg.vo.match_ratio)
+            cfg.vo.match_ratio, matcher=cfg.vo.matcher,
+            select=cfg.vo.match_select)
         prev_uv = state.prev_kp
         curr_uv = xy[idx1]
         valid = ok
@@ -259,7 +260,8 @@ def vo_frame_jit(
     else:
         idx1, ok = features.match_descriptors(
             vstate.prev_desc, vstate.prev_kp_mask, desc, kp_mask,
-            cfg.vo.match_ratio)
+            cfg.vo.match_ratio, matcher=cfg.vo.matcher,
+            select=cfg.vo.match_select)
         prev_uv = vstate.prev_kp
         curr_uv = xy[idx1]
         valid = ok
