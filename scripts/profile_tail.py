@@ -62,10 +62,18 @@ def main():
         gm2.surf, q, mcfg.surf_cell, k=mcfg.knn)[0], s_xyz)
 
     x0 = jnp.concatenate([q0, t0v])
+    gat = jax.jit(lambda q: mp.grid_gather(gm2.corner, q, mcfg.corner_cell))
+    cand_c = gat(c_xyz)
+    gat_s = jax.jit(lambda q: mp.grid_gather(gm2.surf, q, mcfg.surf_cell))
+    cand_s = gat_s(s_xyz)
+    chained("  gather corner probe", lambda q: mp.grid_gather(
+        gm2.corner, q, mcfg.corner_cell), c_xyz)
+    chained("  gather surf probe", lambda q: mp.grid_gather(
+        gm2.surf, q, mcfg.surf_cell), s_xyz)
     chained("  corner terms (knn+eig)", lambda cx: mp._corner_terms(
-        cx, c_m, gm2.corner, x0, mcfg)[0], c_xyz)
+        cx, c_m, cand_c, x0, mcfg)[0], c_xyz)
     chained("  surf terms (knn+planefit)", lambda sx: mp._surf_terms(
-        sx, s_m, gm2.surf, x0, mcfg)[0], s_xyz)
+        sx, s_m, cand_s, x0, mcfg)[0], s_xyz)
 
     def ins_c(g):
         return grid_insert(g, c_xyz, c_m, mcfg.corner_cell,

@@ -1,0 +1,145 @@
+"""Parity tests for the per-ring-min association kernel (ring_assoc.py):
+numpy brute force == XLA fallback == Pallas (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vloam_tpu.lidar.ring_assoc import (RingSlab, SENTINEL, ring_min2_pallas,
+                                        ring_min2_xla, ring_slab_assoc,
+                                        slab_from_flat)
+
+
+def _rand_slab(rng, S=8, C=64, live_frac=0.7):
+    xyz = np.full((S, C, 3), SENTINEL, np.float32)
+    for s in range(S):
+        n = int(C * live_frac * rng.uniform(0.3, 1.0))
+        xyz[s, :n] = rng.uniform(-40, 40, (n, 3)).astype(np.float32)
+    return xyz
+
+
+def _brute_min2(q, slab):
+    """numpy per-ring (min, argmin, 2nd-min, 2nd-argmin)."""
+    S, C, _ = slab.shape
+    Q = q.shape[0]
+    d = np.sum((q[None, :, None, :] - slab[:, None, :, :]) ** 2, axis=-1)
+    # [S, Q, C]
+    a1 = np.argmin(d, axis=2)
+    m1 = np.take_along_axis(d, a1[:, :, None], 2)[:, :, 0]
+    d2 = d.copy()
+    np.put_along_axis(d2, a1[:, :, None], np.inf, 2)
+    a2 = np.argmin(d2, axis=2)
+    m2 = np.take_along_axis(d2, a2[:, :, None], 2)[:, :, 0]
+    return m1, a1, m2, a2
+
+
+def test_ring_min2_xla_matches_numpy():
+    rng = np.random.default_rng(0)
+    slab = _rand_slab(rng)
+    q = rng.uniform(-40, 40, (16, 3)).astype(np.float32)
+    slab_t = jnp.asarray(np.swapaxes(slab, 1, 2))
+    dmin, amin, d2, a2 = jax.jit(ring_min2_xla)(jnp.asarray(q), slab_t)
+    m1, b1, m2, b2 = _brute_min2(q, slab)
+    np.testing.assert_allclose(np.asarray(dmin), m1, rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(amin), b1)
+    # 2nd-min: compare distances (indices may differ on exact ties)
+    np.testing.assert_allclose(np.asarray(d2), m2, rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(a2), b2)
+
+
+def test_ring_min2_pallas_interpret_matches_xla():
+    rng = np.random.default_rng(1)
+    slab = _rand_slab(rng, S=8, C=128)
+    q = rng.uniform(-40, 40, (32, 3)).astype(np.float32)
+    slab_t = jnp.asarray(np.swapaxes(slab, 1, 2))
+    qj = jnp.asarray(q)
+    ref = ring_min2_xla(qj, slab_t)
+    got = ring_min2_pallas(qj, slab_t, q_tile=32, interpret=True)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_slab_from_flat_roundtrip():
+    rng = np.random.default_rng(2)
+    n, S, C = 200, 8, 64
+    xyz = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    ring = rng.integers(0, S, n).astype(np.int32)
+    mask = rng.uniform(size=n) < 0.8
+    slab = slab_from_flat(jnp.asarray(xyz), jnp.asarray(ring),
+                          jnp.asarray(mask), S, C)
+    got = np.asarray(slab.xyz)
+    for s in range(S):
+        want = xyz[mask & (ring == s)]
+        live = got[s][got[s][:, 0] < SENTINEL * 0.5]
+        assert len(live) == len(want)
+        # stable: original order preserved within a ring
+        np.testing.assert_allclose(live, want, rtol=1e-6)
+
+
+def test_ring_slab_assoc_semantics():
+    """d0/p0 = global nearest; d2/p2 = nearest on different nearby ring;
+    d3/p3 = second nearest on the nearest's ring (surf mode)."""
+    rng = np.random.default_rng(3)
+    S, C = 8, 32
+    slab_np = _rand_slab(rng, S=S, C=C)
+    q = rng.uniform(-40, 40, (16, 3)).astype(np.float32)
+    out = ring_slab_assoc(jnp.asarray(q), RingSlab(jnp.asarray(slab_np)),
+                          nearby_scan=2.5, mode="surf")
+    d = np.sum((q[None, :, None, :] - slab_np[:, None, :, :]) ** 2, axis=-1)
+    m1 = d.min(axis=2)  # [S, Q]
+    for i in range(len(q)):
+        r0 = int(np.argmin(m1[:, i]))
+        assert np.isclose(float(out["d0"][i]), m1[r0, i], rtol=1e-5,
+                          atol=1e-4)
+        c0 = int(np.argmin(d[r0, i]))
+        np.testing.assert_allclose(np.asarray(out["p0"][i]), slab_np[r0, c0],
+                                   rtol=1e-5)
+        rings = np.arange(S)
+        near = (np.abs(rings - r0) <= 2.5) & (rings != r0)
+        want_d2 = np.where(near, m1[:, i], np.inf).min()
+        assert np.isclose(float(out["d2"][i]), want_d2, rtol=1e-5, atol=1e-4)
+        row = d[r0, i].copy()
+        row[c0] = np.inf
+        assert np.isclose(float(out["d3"][i]), row.min(), rtol=1e-5,
+                          atol=1e-4)
+
+
+def test_assoc_matches_shortlist_on_dense_cloud():
+    """On a dense structured cloud the exact ring-slab association and the
+    approx shortlist association agree on (d0, d2) for gated picks."""
+    from vloam_tpu.lidar.knn import shortlist_ring_assoc
+
+    rng = np.random.default_rng(4)
+    S, C = 16, 128
+    # structured: ring s is a circle at elevation-dependent radius
+    slab_np = np.full((S, C, 3), SENTINEL, np.float32)
+    flat_xyz, flat_ring = [], []
+    for s in range(S):
+        th = np.linspace(0, 2 * np.pi, C, endpoint=False)
+        r = 10.0 + 0.5 * s
+        pts = np.stack([r * np.cos(th), r * np.sin(th),
+                        np.full(C, 0.1 * s)], 1).astype(np.float32)
+        pts += rng.normal(0, 0.02, pts.shape).astype(np.float32)
+        slab_np[s] = pts
+        flat_xyz.append(pts)
+        flat_ring.append(np.full(C, s, np.int32))
+    flat_xyz = np.concatenate(flat_xyz)
+    flat_ring = np.concatenate(flat_ring)
+    mask = np.ones(len(flat_xyz), bool)
+    q = flat_xyz[rng.choice(len(flat_xyz), 64, replace=False)] + rng.normal(
+        0, 0.05, (64, 3)).astype(np.float32)
+
+    exact = ring_slab_assoc(jnp.asarray(q), RingSlab(jnp.asarray(slab_np)),
+                            nearby_scan=2.5, mode="corner")
+    approx = shortlist_ring_assoc(jnp.asarray(q), jnp.asarray(flat_xyz),
+                                  jnp.asarray(flat_ring), jnp.asarray(mask),
+                                  2.5, mode="corner", shortlist=24)
+    np.testing.assert_allclose(np.asarray(exact["d0"]),
+                               np.asarray(approx["d0"]), rtol=1e-4, atol=1e-4)
+    # d2 agreement for picks the LO gate accepts (<25 m^2)
+    gated = np.asarray(approx["d2"]) < 25.0
+    np.testing.assert_allclose(np.asarray(exact["d2"])[gated],
+                               np.asarray(approx["d2"])[gated],
+                               rtol=1e-4, atol=1e-4)

@@ -63,7 +63,8 @@ def match_pair(
     q0 = R.from_matrix(T_init[:3, :3]).as_quat()
     t0 = T_init[:3, 3]
     q, t, n_c, n_s = solve_lo(
-        feats_i.sharp, feats_i.flat, feats_j.less_sharp, feats_j.less_flat,
+        feats_i.sharp, feats_i.flat, feats_j.less_sharp_slab,
+        feats_j.less_flat_slab,
         jnp.asarray(q0, jnp.float32), jnp.asarray(t0, jnp.float32), cfg.lo)
     return (np.asarray(q, np.float64), np.asarray(t, np.float64),
             int(n_c) + int(n_s))

@@ -50,10 +50,15 @@ class ScanRegistrationConfig:
     # cost ~1.3 ms/frame on TPU once suppression uses the break-prefix
     # formulation, so the exact order is the default.
     strict_sector_order: bool = True
-    # Static caps for the padded feature tensors.
-    sharp_cap: int = 1024
+    # Static caps for the padded feature tensors. sharp/flat are EXACT
+    # upper bounds (n_scans * n_sectors * max picks: 64*6*2=768 sharp,
+    # 64*6*4=1536 flat — the selection can never overflow them), so the
+    # association query count pays zero padding. less_sharp's per-ring
+    # slice (8192/64 = 128) is 4 short of the 132 theoretical max — a
+    # rare-frame tail truncation, kept for the 128-lane alignment.
+    sharp_cap: int = 768
     less_sharp_cap: int = 8192
-    flat_cap: int = 2048
+    flat_cap: int = 1536
     less_flat_cap: int = 32768
 
 
@@ -95,12 +100,13 @@ class LaserMappingConfig:
     min_corner_map_points: int = 10  # ":448"
     min_surf_map_points: int = 50
     # Static caps for the per-frame voxel-downsampled stacks (:432-440),
-    # sized ~2x the occupancy measured on dense HDL-64 frames (corner ~1.6k,
-    # surf ~4.2k): every mapping query/insert costs O(cap), so slack is paid
-    # for in TPU time; overflow drops the densest frames' tail, which the
-    # reference also bounds via its cube capacities.
+    # sized ~1.3-1.5x the occupancy measured on dense HDL-64 frames
+    # (corner ~1.6k, surf ~3.9k): every mapping gather/knn/insert costs
+    # O(cap), so slack is paid for in TPU time; overflow drops the densest
+    # frames' tail, which the reference also bounds via its cube
+    # capacities.
     corner_stack_cap: int = 2048
-    surf_stack_cap: int = 8192
+    surf_stack_cap: int = 6144
     knn: int = 5
     # Incremental hashed cell-slab map (gridmap.py): the map's storage IS
     # the k-NN structure; nothing is rebuilt per frame. Cells must be

@@ -26,6 +26,7 @@ from ..config import PipelineConfig
 from ..geometry import so3
 from .mapping import GridMap, solve_mapping
 from .odometry import solve_lo
+from .ring_assoc import RingSlab
 from .scan_registration import register_scan, register_scan_polar
 from .types import FeatureCloud
 from .voxel import voxel_downsample
@@ -34,8 +35,8 @@ OUT_DIM = 24  # packed per-frame output row
 
 
 class LoamState(NamedTuple):
-    corner_last: FeatureCloud
-    surf_last: FeatureCloud
+    corner_last: RingSlab
+    surf_last: RingSlab
     q_f2f: jnp.ndarray  # [4] last LO frame-to-frame estimate (prior seed)
     t_f2f: jnp.ndarray  # [3]
     q_w: jnp.ndarray  # [4] LO world pose (odom frame)
@@ -48,9 +49,10 @@ class LoamState(NamedTuple):
     @staticmethod
     def create(cfg: PipelineConfig) -> "LoamState":
         sr = cfg.scanreg
+        S = cfg.lidar.n_scans
         return LoamState(
-            corner_last=FeatureCloud.empty(sr.less_sharp_cap),
-            surf_last=FeatureCloud.empty(sr.less_flat_cap),
+            corner_last=RingSlab.empty(S, sr.less_sharp_cap // S),
+            surf_last=RingSlab.empty(S, sr.less_flat_cap // S),
             q_f2f=jnp.asarray([0, 0, 0, 1], jnp.float32),
             t_f2f=jnp.zeros(3, jnp.float32),
             q_w=jnp.asarray([0, 0, 0, 1], jnp.float32),
@@ -111,7 +113,6 @@ def loam_frame_step_feats(
                     state.t_w)
 
     # ---- mapping ----
-    mapped = (state.frame_idx % cfg.lo.mapping_skip_frame) == 0
     c_xyz, _, _, c_m = voxel_downsample(
         feats.less_sharp.xyz, feats.less_sharp.mask,
         cfg.mapping.line_resolution, cfg.mapping.corner_stack_cap)
@@ -129,7 +130,14 @@ def loam_frame_step_feats(
     def skip_map(cube):
         return cube, q_pred, t_pred
 
-    cube, q_m, t_m = jax.lax.cond(mapped, do_map, skip_map, state.cube)
+    if cfg.lo.mapping_skip_frame == 1:
+        # static fast path: no lax.cond wrapping the (large) map state —
+        # the conditional costs real copies of the cube buffers per frame
+        mapped = jnp.bool_(True)
+        cube, q_m, t_m = do_map(state.cube)
+    else:
+        mapped = (state.frame_idx % cfg.lo.mapping_skip_frame) == 0
+        cube, q_m, t_m = jax.lax.cond(mapped, do_map, skip_map, state.cube)
 
     # transformUpdate (reference laser_mapping.cpp:140-144), only on mapped
     q_off = so3.quat_normalize(so3.quat_multiply(q_m, so3.quat_conjugate(q_w)))
@@ -138,8 +146,8 @@ def loam_frame_step_feats(
     t_wmap_wodom = jnp.where(mapped, t_off, state.t_wmap_wodom)
 
     new_state = LoamState(
-        corner_last=feats.less_sharp,
-        surf_last=feats.less_flat,
+        corner_last=feats.less_sharp_slab,
+        surf_last=feats.less_flat_slab,
         q_f2f=q, t_f2f=t, q_w=q_w, t_w=t_w,
         cube=cube, q_wmap_wodom=q_wmap_wodom, t_wmap_wodom=t_wmap_wodom,
         frame_idx=state.frame_idx + 1,

@@ -7,8 +7,10 @@ point-to-plane (LidarPlaneFactor, lidarFactor.hpp:58-106) residuals, with
 Huber(0.1) loss and a quaternion-local parameterization.
 
 TPU mapping:
-- KD-tree NN + ring-directional scans -> one dense MXU distance pass with
-  all picks derived from a top-k shortlist (knn.shortlist_ring_assoc),
+- KD-tree NN + ring-directional scans -> EXACT per-ring-min reduction over
+  sentinel-padded ring slabs (ring_assoc.ring_slab_assoc): every reference
+  pick is a function of per-ring distance minima, fused so the [Q, C]
+  distance matrix never reaches HBM,
 - Ceres LM -> solver.lm batched IRLS-LM with jacfwd Jacobians,
 - DISTORTION=false (laser_odometry.h:90): TransformToStart applies the full
   transform (s=1), so the slerp fraction drops out.
@@ -28,7 +30,7 @@ import jax.numpy as jnp
 from ..config import LaserOdometryConfig
 from ..geometry import so3
 from ..solver.lm import ResidualFamily, lm_solve
-from .knn import shortlist_ring_assoc
+from .ring_assoc import RingSlab, ring_slab_assoc
 from .types import FeatureCloud, ScanFeatures
 
 _EPS = 1e-9
@@ -68,43 +70,37 @@ def _transform_to_start(q, t, pts, s):
 
 
 def associate_corners(
-    sharp: FeatureCloud, corner_last: FeatureCloud, x, cfg: LaserOdometryConfig
+    sharp: FeatureCloud, corner_last: RingSlab, x, cfg: LaserOdometryConfig
 ):
     """Edge correspondences: nearest last-frame corner + nearest corner on a
     different nearby ring (reference :266-350)."""
     q, t = _unpack(x)
     p_hat = _transform_to_start(q, t, sharp.xyz, _deskew_fraction(sharp, cfg))
-    res = shortlist_ring_assoc(
-        p_hat, corner_last.xyz, corner_last.ring, corner_last.mask,
-        cfg.nearby_scan, mode="corner", shortlist=cfg.assoc_shortlist,
-    )
+    res = ring_slab_assoc(p_hat, corner_last, cfg.nearby_scan, mode="corner")
     thr = cfg.distance_sq_threshold
     valid = sharp.mask & (res["d0"] < thr) & (res["d2"] < thr)
-    a = corner_last.xyz[res["i0"]]
-    b = corner_last.xyz[res["i2"]]
+    a = res["p0"]
+    b = res["p2"]
     de = jnp.linalg.norm(a - b, axis=-1)
     valid = valid & (de > 1e-6)
     return a, b, de, valid
 
 
 def associate_surfs(
-    flat: FeatureCloud, surf_last: FeatureCloud, x, cfg: LaserOdometryConfig
+    flat: FeatureCloud, surf_last: RingSlab, x, cfg: LaserOdometryConfig
 ):
     """Plane correspondences: nearest j + same-ring l + other-ring m
     (reference :353-444)."""
     q, t = _unpack(x)
     p_hat = _transform_to_start(q, t, flat.xyz, _deskew_fraction(flat, cfg))
-    res = shortlist_ring_assoc(
-        p_hat, surf_last.xyz, surf_last.ring, surf_last.mask,
-        cfg.nearby_scan, mode="surf", shortlist=cfg.assoc_shortlist,
-    )
+    res = ring_slab_assoc(p_hat, surf_last, cfg.nearby_scan, mode="surf")
     thr = cfg.distance_sq_threshold
     valid = (
         flat.mask & (res["d0"] < thr) & (res["d2"] < thr) & (res["d3"] < thr)
     )
-    pj = surf_last.xyz[res["i0"]]
-    pl = surf_last.xyz[res["i3"]]  # same ring
-    pm = surf_last.xyz[res["i2"]]  # neighboring ring
+    pj = res["p0"]
+    pl = res["p3"]  # same ring
+    pm = res["p2"]  # neighboring ring
     n = jnp.cross(pj - pl, pj - pm)
     nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
     valid = valid & (nn[:, 0] > 1e-6)
@@ -116,8 +112,8 @@ def associate_surfs(
 def solve_lo(
     sharp: FeatureCloud,
     flat: FeatureCloud,
-    corner_last: FeatureCloud,
-    surf_last: FeatureCloud,
+    corner_last: RingSlab,
+    surf_last: RingSlab,
     q_init: jnp.ndarray,
     t_init: jnp.ndarray,
     cfg: LaserOdometryConfig,
@@ -175,8 +171,8 @@ class LaserOdometry:
         self.cfg = cfg
         self.np = np
         self.initialized = False
-        self.corner_last: FeatureCloud | None = None
-        self.surf_last: FeatureCloud | None = None
+        self.corner_last: RingSlab | None = None
+        self.surf_last: RingSlab | None = None
         self.q_w = np.array([0.0, 0.0, 0.0, 1.0])
         self.t_w = np.zeros(3)
         self.q_f2f = np.array([0.0, 0.0, 0.0, 1.0])
@@ -213,8 +209,8 @@ class LaserOdometry:
             self.t_w = self.t_w + rw.apply(t)
             self.q_w = (rw * R.from_quat(q)).as_quat()
         # swap feature clouds into "last" (reference :511-526)
-        self.corner_last = feats.less_sharp
-        self.surf_last = feats.less_flat
+        self.corner_last = feats.less_sharp_slab
+        self.surf_last = feats.less_flat_slab
         self.frame_count += 1
         skip_frame = ((self.frame_count - 1) % self.cfg.mapping_skip_frame) != 0
         return {

@@ -1,0 +1,255 @@
+"""Exact per-ring nearest-neighbor association as a Pallas TPU kernel.
+
+Replaces knn.shortlist_ring_assoc for the LO correspondence search
+(reference laser_odometry.cpp:266-444). The key observation: every pick the
+reference's KD-tree + ring-scan loop makes is a function of PER-RING minima
+of the query-candidate distance — the global nearest (d0, i0) is the min
+over ring minima, the ring-constrained second point (d2, i2) is the min over
+rings != ring0 within +-nearby_scan, and the surf same-ring point (d3, i3)
+is the second minimum on ring0. So instead of materializing the full [Q, C]
+distance matrix in HBM (256 MB for the surf pass) and running a partial
+top-k over it, we compute, per ring, the (min, argmin, second-min,
+second-argmin) of the distance block [Q, C_ring] entirely in VMEM and emit
+only [n_rings, Q] reductions. This is EXACT (no shortlist recall loss) and
+touches HBM only for the inputs and the tiny outputs.
+
+Candidates arrive as sentinel-padded per-ring slabs (RingSlab): slab[r] =
+the r-th scan ring's points, padded with SENTINEL coordinates whose
+distances (~1e12) lose every comparison and fail the 25 m^2 gate naturally —
+no masks in the inner loop.
+
+Two implementations compute the same reduction: a hand-written Pallas
+kernel (grid (ring_blocks, Q_tiles), distance block in VMEM, VPU lane
+reductions) and a vmap-over-rings XLA formulation whose reduce fusion
+achieves the same no-HBM-materialization property. Measured on the target
+v5e (scripts/profile_ring_variants.py) the XLA form wins (surf: 1.14 ms vs
+2.19 ms; corner: 0.42 vs 1.31), so it is the default; the Pallas kernel is
+kept selectable (impl="pallas") and parity-tested.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SENTINEL = 1.0e6  # matches gridmap.SENTINEL: far but finite (no inf-inf NaN)
+_BIG = 3.9e12  # > any sentinel distance (python float: kernels must not capture tracers)
+
+
+class RingSlab(NamedTuple):
+    """Per-ring candidate layout: xyz [S, C, 3] with invalid slots at
+    SENTINEL. Ring id of slab[r] is r; no mask needed (sentinel padding)."""
+
+    xyz: jnp.ndarray  # [S, C, 3] f32
+
+    @property
+    def n_rings(self) -> int:
+        return self.xyz.shape[0]
+
+    @property
+    def ring_cap(self) -> int:
+        return self.xyz.shape[1]
+
+    @staticmethod
+    def empty(n_rings: int, ring_cap: int) -> "RingSlab":
+        return RingSlab(
+            xyz=jnp.full((n_rings, ring_cap, 3), SENTINEL, jnp.float32))
+
+
+def slab_from_flat(xyz: jnp.ndarray, ring: jnp.ndarray, mask: jnp.ndarray,
+                   n_rings: int, ring_cap: int) -> RingSlab:
+    """Build a RingSlab from a flat masked cloud (any order): one stable
+    sort by ring + per-ring rank scatter."""
+    n = xyz.shape[0]
+    key = jnp.where(mask, ring, n_rings)
+    order = jnp.argsort(key, stable=True)
+    ks = key[order]
+    counts = jnp.bincount(ks, length=n_rings + 1)[:n_rings]
+    starts = jnp.concatenate([
+        jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]])
+    rank = jnp.arange(n) - starts[jnp.minimum(ks, n_rings - 1)]
+    dest_r = jnp.where((ks < n_rings) & (rank < ring_cap), ks, n_rings)
+    rank = jnp.clip(rank, 0, ring_cap - 1)
+    slab = jnp.full((n_rings + 1, ring_cap, 3), SENTINEL, xyz.dtype)
+    slab = slab.at[dest_r, rank].set(xyz[order], mode="drop")
+    return RingSlab(xyz=slab[:n_rings])
+
+
+_RING_BLK = 8  # rings per program (output sublane tiling needs >= 8)
+
+
+def _ring_min2_kernel(q_ref, c_ref, dmin_ref, amin_ref, d2_ref, a2_ref):
+    """One (ring-block, query-tile) program: 2-smallest reduction over each
+    of _RING_BLK rings.
+
+    q_ref: [QT, 3] query tile; c_ref: [RB, 3, C] ring candidates
+    (coordinate-major); outputs [RB, QT] each.
+
+    Distances use the cancellation-free (q-c)^2 form on the VPU: the
+    |q|^2+|c|^2-2qc MXU expansion loses ~eps*|p|^2 ~ 8e-4 m^2 absolute at
+    80 m coordinate scales — the same order as real feature spacings — while
+    the difference form's error scales with the distance itself."""
+    q = q_ref[:]  # [QT, 3]
+    qx = [q[:, ax][:, None] for ax in range(3)]  # [QT, 1] each
+    for r in range(_RING_BLK):
+        c = c_ref[r]  # [3, C]
+        d = jnp.zeros((q.shape[0], c.shape[1]), jnp.float32)
+        for ax in range(3):
+            diff = qx[ax] - c[ax][None, :]  # [QT, C]
+            d = d + diff * diff
+        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        m1 = jnp.min(d, axis=1, keepdims=True)  # [QT, 1]
+        a1 = jnp.min(jnp.where(d <= m1, col, jnp.int32(2**30)), axis=1)
+        d_wo = jnp.where(col == a1[:, None], _BIG, d)
+        m2 = jnp.min(d_wo, axis=1, keepdims=True)
+        a2 = jnp.min(jnp.where(d_wo <= m2, col, jnp.int32(2**30)), axis=1)
+        dmin_ref[r, :] = m1[:, 0]
+        amin_ref[r, :] = a1
+        d2_ref[r, :] = m2[:, 0]
+        a2_ref[r, :] = a2
+
+
+@partial(jax.jit, static_argnames=("q_tile", "interpret"))
+def ring_min2_pallas(queries: jnp.ndarray, slab_t: jnp.ndarray,
+                     q_tile: int = 512, interpret: bool = False):
+    """Per-ring (min, argmin, 2nd-min, 2nd-argmin) distances.
+
+    queries [Q, 3]; slab_t [S, 3, C] (ring slabs, coordinate-major; S must
+    be a multiple of _RING_BLK). Returns (dmin [S, Q], amin [S, Q],
+    d2 [S, Q], a2 [S, Q]); argmins are slot indices WITHIN the ring (global
+    index = ring_start + slot when the caller needs one)."""
+    Q = queries.shape[0]
+    S, _, C = slab_t.shape
+    qt = min(q_tile, Q)
+    assert Q % qt == 0, (Q, qt)
+    assert S % _RING_BLK == 0, S
+    grid = (S // _RING_BLK, Q // qt)
+    kw = dict(
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qt, 3), lambda s, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_RING_BLK, 3, C), lambda s, i: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_RING_BLK, qt), lambda s, i: (s, i),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, Q), jnp.float32),
+            jax.ShapeDtypeStruct((S, Q), jnp.int32),
+            jax.ShapeDtypeStruct((S, Q), jnp.float32),
+            jax.ShapeDtypeStruct((S, Q), jnp.int32),
+        ],
+    )
+
+    return pl.pallas_call(_ring_min2_kernel, interpret=interpret,
+                          **kw)(queries, slab_t)
+
+
+def ring_min2_xla(queries: jnp.ndarray, slab_t: jnp.ndarray):
+    """XLA formulation of the per-ring 2-smallest reduction: vmap over
+    rings of a fused subtract-square-reduce. XLA's reduce fusion keeps the
+    [Q, C] distance block out of HBM, matching what the hand-written Pallas
+    kernel does — and on the target chip it BEATS it (surf shape
+    [64x512] x 2048 queries: 1.14 ms vs 2.19 ms pallas; corner 0.42 vs
+    1.31; scripts/profile_ring_variants.py), because Mosaic's lane-reduction
+    codegen for the 19-pass min/argmin chain is slower than XLA's fused
+    reducer. Kept as the default; the pallas path remains for comparison."""
+
+    def one_ring(c):  # c: [3, C]
+        diff = queries[:, :, None] - c[None, :, :]  # [Q, 3, C]
+        d = jnp.sum(diff * diff, axis=1)  # [Q, C]
+        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        m1 = jnp.min(d, axis=1)
+        a1 = jnp.min(jnp.where(d <= m1[:, None], col, jnp.int32(2**30)),
+                     axis=1)
+        d_wo = jnp.where(col == a1[:, None], _BIG, d)
+        m2 = jnp.min(d_wo, axis=1)
+        a2 = jnp.min(jnp.where(d_wo <= m2[:, None], col, jnp.int32(2**30)),
+                     axis=1)
+        return m1, a1, m2, a2
+
+    dmin, amin, d2, a2 = jax.vmap(one_ring)(slab_t)
+    return dmin, amin, d2, a2
+
+
+def ring_min1_xla(queries: jnp.ndarray, slab_t: jnp.ndarray):
+    """Per-ring (min, argmin) only — the association's hot reduction. The
+    second-minimum is only ever needed on ONE ring per query (the nearest's
+    ring, surf mode), so computing it for all rings wastes ~7 of 19 VPU
+    passes; ring_slab_assoc recomputes it on the gathered ring0 slab
+    instead (1/n_rings of the work)."""
+
+    def one_ring(c):  # c: [3, C]
+        diff = queries[:, :, None] - c[None, :, :]  # [Q, 3, C]
+        d = jnp.sum(diff * diff, axis=1)  # [Q, C]
+        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        m1 = jnp.min(d, axis=1)
+        a1 = jnp.min(jnp.where(d <= m1[:, None], col, jnp.int32(2**30)),
+                     axis=1)
+        return m1, a1
+
+    return jax.vmap(one_ring)(slab_t)
+
+
+@partial(jax.jit, static_argnames=("mode", "nearby_scan", "impl"))
+def ring_slab_assoc(
+    queries: jnp.ndarray,  # [Q, 3] (already transformed to last frame)
+    slab: RingSlab,
+    nearby_scan: float,
+    mode: str = "corner",
+    impl: str = "xla",
+):
+    """LO correspondence search over per-ring slabs; EXACT counterpart of
+    knn.shortlist_ring_assoc (same output dict, but indices are (ring, slot)
+    pairs resolved to 3D points directly).
+
+    Returns dict with:
+      d0 [Q], p0 [Q, 3]   nearest candidate anywhere
+      d2 [Q], p2 [Q, 3]   nearest on a DIFFERENT ring within +-nearby_scan
+      d3 [Q], p3 [Q, 3]   (surf) second-nearest on the SAME ring
+    """
+    S = slab.n_rings
+    slab_t = jnp.swapaxes(slab.xyz, 1, 2)  # [S, 3, C]
+    if impl == "pallas":
+        dmin, amin, _, _ = ring_min2_pallas(queries, slab_t)
+    else:
+        dmin, amin = ring_min1_xla(queries, slab_t)
+
+    rings = jnp.arange(S)
+    ring0 = jnp.argmin(dmin, axis=0)  # [Q]
+    d0 = jnp.min(dmin, axis=0)
+    q_idx = jnp.arange(queries.shape[0])
+    slot0 = amin[ring0, q_idx]
+    p0 = slab.xyz[ring0, slot0]
+
+    near = (jnp.abs(rings[:, None] - ring0[None, :]).astype(jnp.float32)
+            <= nearby_scan) & (rings[:, None] != ring0[None, :])  # [S, Q]
+    d_other = jnp.where(near, dmin, _BIG)
+    ring2 = jnp.argmin(d_other, axis=0)
+    d2 = jnp.min(d_other, axis=0)
+    slot2 = amin[ring2, q_idx]
+    p2 = slab.xyz[ring2, slot2]
+
+    out = {"d0": d0, "p0": p0, "d2": d2, "p2": p2}
+    if mode == "surf":
+        # second-nearest on ring0: recompute distances on the gathered
+        # ring0 slab only ([Q, C] — 1/n_rings of the full reduction)
+        row = slab.xyz[ring0]  # [Q, C, 3]
+        dq = jnp.sum((queries[:, None, :] - row) ** 2, axis=-1)  # [Q, C]
+        col = jax.lax.broadcasted_iota(jnp.int32, dq.shape, 1)
+        dq = jnp.where(col == slot0[:, None], _BIG, dq)
+        m3 = jnp.min(dq, axis=1)
+        slot3 = jnp.min(jnp.where(dq <= m3[:, None], col, jnp.int32(2**30)),
+                        axis=1)
+        out["d3"] = m3
+        out["p3"] = row[q_idx, slot3]
+    return out

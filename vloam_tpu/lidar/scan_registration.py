@@ -28,8 +28,9 @@ import jax
 import jax.numpy as jnp
 
 from ..config import LidarProfile, ScanRegistrationConfig
+from .ring_assoc import RingSlab, SENTINEL
 from .types import FeatureCloud, ScanFeatures
-from .voxel import voxel_downsample_rows
+from .voxel import voxel_downsample_rows_slab
 
 _2PI = 2.0 * math.pi
 
@@ -310,41 +311,39 @@ def _features_from_layout(pts, rt, counts, cfg: ScanRegistrationConfig
     less_sharp = slice_rows(zero_r, n_sharp_r + n_less_r, cfg.less_sharp_cap)
     flat = slice_rows(n_sharp_r + n_less_r, n_flat_r, cfg.flat_cap)
 
+    # LO candidate slabs in the native per-ring layout (ring_assoc.py):
+    # sentinel-padded so the association kernel needs no masks. less_sharp
+    # is already a per-ring block (slice_rows); less_flat keeps the slab
+    # layout straight out of the per-ring voxel filter — the old global
+    # prefix-compaction sorts existed only to restore the dense layout
+    # lax.approx_min_k's recall depended on, and the exact per-ring-min
+    # association removed that dependency.
+    ls_per = cfg.less_sharp_cap // S
+    ls_xyz = less_sharp.xyz.reshape(S, ls_per, 3)
+    ls_m = less_sharp.mask.reshape(S, ls_per)
+    less_sharp_slab = RingSlab(jnp.where(ls_m[:, :, None], ls_xyz, SENTINEL))
+
     lf_mask = selectable & (label <= 0)
-    lf_xyz, lf_extra, lf_ring, lf_m = voxel_downsample_rows(
-        pts, lf_mask, cfg.less_flat_leaf, cfg.less_flat_cap,
-        extra=rt[..., None],
+    lf_cap_r = cfg.less_flat_cap // S
+    lf_xyz, lf_extra, lf_m = voxel_downsample_rows_slab(
+        pts, lf_mask, cfg.less_flat_leaf, lf_cap_r, extra=rt[..., None],
     )
+    less_flat_slab = RingSlab(jnp.where(lf_m[:, :, None], lf_xyz, SENTINEL))
     less_flat = FeatureCloud(
-        xyz=jnp.where(lf_m[:, None], lf_xyz, 0.0),
-        ring=jnp.where(lf_m, lf_ring, 0),
-        rel_time=jnp.where(lf_m, lf_extra[:, 0], 0.0),
-        mask=lf_m,
+        xyz=jnp.where(lf_m[:, :, None], lf_xyz, 0.0).reshape(-1, 3),
+        ring=jnp.where(lf_m, jnp.arange(S, dtype=jnp.int32)[:, None],
+                       0).reshape(-1),
+        rel_time=jnp.where(lf_m, lf_extra[..., 0], 0.0).reshape(-1),
+        mask=lf_m.reshape(-1),
     )
 
     full = FeatureCloud(xyz=pts.reshape(-1, 3), ring=ring_ids.reshape(-1),
                         rel_time=rt.reshape(-1), mask=exists.reshape(-1))
 
-    def _compact(fc):
-        # Prefix-compact valid entries. The per-ring block layout above
-        # interleaves masked slots among valid points; downstream the LO
-        # association shortlist uses lax.approx_min_k (knn.py), a partial
-        # reduction whose recall beyond top-1 depends on how valid
-        # candidates are distributed across its bins — interleaved padding
-        # measurably degrades it (100-frame synthetic MO ATE 0.12 -> 0.59 m).
-        # One small multi-operand sort per cloud (<=8k rows) restores the
-        # dense-prefix layout the shortlist (and any future approx op) sees.
-        n = fc.mask.shape[0]
-        key = jnp.where(fc.mask, jnp.arange(n, dtype=jnp.int32), n)
-        _, x_c, y_c, z_c, r_c, rt_c, m_c = jax.lax.sort(
-            (key, fc.xyz[:, 0], fc.xyz[:, 1], fc.xyz[:, 2],
-             fc.ring, fc.rel_time, fc.mask.astype(jnp.int32)),
-            num_keys=1, dimension=0)
-        return FeatureCloud(xyz=jnp.stack([x_c, y_c, z_c], axis=-1),
-                            ring=r_c, rel_time=rt_c, mask=m_c > 0)
-
-    return ScanFeatures(sharp=_compact(sharp), less_sharp=_compact(less_sharp),
-                        flat=_compact(flat), less_flat=less_flat, full=full)
+    return ScanFeatures(sharp=sharp, less_sharp=less_sharp,
+                        flat=flat, less_flat=less_flat, full=full,
+                        less_sharp_slab=less_sharp_slab,
+                        less_flat_slab=less_flat_slab)
 
 
 @partial(jax.jit, static_argnames=("profile", "cfg"))

@@ -45,10 +45,14 @@ class FeatureCloud(NamedTuple):
 
 class ScanFeatures(NamedTuple):
     """Output of scan registration (reference scan_registration.cpp output()):
-    the five clouds of A-LOAM."""
+    the five clouds of A-LOAM, plus the LO candidate sets in the per-ring
+    slab layout the association kernel consumes (ring_assoc.RingSlab;
+    sentinel-padded [n_scans, cap_per_ring, 3])."""
 
     sharp: FeatureCloud
     less_sharp: FeatureCloud
     flat: FeatureCloud
     less_flat: FeatureCloud
     full: FeatureCloud  # ring-ordered filtered cloud (laserCloud)
+    less_sharp_slab: "jnp.ndarray | object" = None  # RingSlab
+    less_flat_slab: "jnp.ndarray | object" = None  # RingSlab

@@ -115,6 +115,62 @@ def voxel_downsample(
                          sorted_ids=True)
 
 
+def voxel_downsample_rows_slab(
+    pts: jnp.ndarray,  # [S, R, 3] per-ring layout
+    mask: jnp.ndarray,  # [S, R]
+    leaf: float,
+    ring_cap: int,
+    extra: jnp.ndarray | None = None,  # [S, R, E]
+):
+    """Per-ring voxel downsample that KEEPS the per-ring slab layout:
+    returns (xyz [S, ring_cap, 3], extra [S, ring_cap, E] | None,
+    mask [S, ring_cap]) where row s holds ring s's voxel centroids as a
+    dense prefix. This is the natural input layout for the per-ring
+    association kernel (ring_assoc.py); rings with more than ring_cap
+    voxels drop the tail (the flat variant's global cap truncates the same
+    way, just globally)."""
+    S, R = pts.shape[0], pts.shape[1]
+    part = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None], (S, R))
+    cell = jnp.floor(pts / leaf).astype(jnp.int32)
+    h = _hash_cells(cell[..., 0], cell[..., 1], cell[..., 2], part)
+    h = jnp.where(mask, h, jnp.uint32(0xFFFFFFFF))
+
+    n_extra = 0 if extra is None else extra.shape[2]
+    operands = (h, pts[..., 0], pts[..., 1], pts[..., 2],
+                *(extra[..., j] for j in range(n_extra)),
+                mask.astype(jnp.int32))
+    sorted_ops = jax.lax.sort(operands, num_keys=1, dimension=1)
+    hs = sorted_ops[0]
+    ms = sorted_ops[4 + n_extra] > 0
+    # row-local segment ids: seg[s, j] = index of point j's voxel within
+    # ring s; invalid points route to the trash row (segment S*ring_cap).
+    is_start = jnp.concatenate(
+        [jnp.ones((S, 1), bool), hs[:, 1:] != hs[:, :-1]], axis=1) & ms
+    seg = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1
+    n_seg = jnp.max(jnp.where(ms, seg, -1), axis=1) + 1  # [S]
+    gseg = jnp.where(ms & (seg < ring_cap),
+                     part * ring_cap + seg, S * ring_cap)
+
+    ones = ms.astype(pts.dtype)
+    payload = jnp.concatenate(
+        [ones[..., None], jnp.stack(sorted_ops[1:4], axis=-1) * ones[..., None]]
+        + ([jnp.stack(sorted_ops[4:4 + n_extra], axis=-1) * ones[..., None]]
+           if n_extra else []), axis=-1).reshape(S * R, -1)
+    # NOT sorted: each row's invalid tail (gseg = S*ring_cap) interleaves
+    # between rows in the flattened stream.
+    sums = jax.ops.segment_sum(payload, gseg.reshape(-1),
+                               num_segments=S * ring_cap + 1,
+                               indices_are_sorted=False)[:S * ring_cap]
+    counts = sums[:, 0]
+    denom = jnp.maximum(counts, 1.0)[:, None]
+    out_xyz = (sums[:, 1:4] / denom).reshape(S, ring_cap, 3)
+    out_extra = ((sums[:, 4:4 + n_extra] / denom).reshape(S, ring_cap, n_extra)
+                 if n_extra else None)
+    out_mask = (jnp.arange(ring_cap)[None, :]
+                < jnp.minimum(n_seg, ring_cap)[:, None])
+    return out_xyz, out_extra, out_mask
+
+
 def voxel_downsample_rows(
     pts: jnp.ndarray,  # [S, R, 3] per-ring layout
     mask: jnp.ndarray,  # [S, R]
