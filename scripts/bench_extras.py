@@ -9,8 +9,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
+def _cache():
+    import os, jax
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/vloam_jax_cache")
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def bench_vloam(n_chunks=4, chunk=8):
     import jax
+    _cache()
     from vloam_tpu.config import kitti_hdl64
     from vloam_tpu.data import synthetic
     from vloam_tpu.vloam_step import VloamEngine
@@ -47,14 +56,16 @@ def bench_vloam(n_chunks=4, chunk=8):
                          * 255).astype(np.uint8))
         np.savez(cache, **{f"s{k}": s for k, s in enumerate(scans)},
                  **{f"i{k}": i for k, i in enumerate(imgs)})
+    from vloam_tpu.runtime.profiling import fence
+
     eng = VloamEngine(cfg, calib, chunk=chunk)
     for k in range(chunk):
         eng.push(scans[k], imgs[k])
-    jax.block_until_ready(eng.state)
+    fence(eng.state)  # block_until_ready is a no-op on the axon backend
     t0 = time.perf_counter()
     for k in range(chunk, n):
         eng.push(scans[k], imgs[k])
-    jax.block_until_ready(eng.state)
+    fence(eng.state)
     fps = (n - chunk) / (time.perf_counter() - t0)
     print(json.dumps({"metric": "vloam_full_frames_per_sec",
                       "value": round(fps, 1)}))

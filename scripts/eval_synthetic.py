@@ -66,7 +66,19 @@ def build_frames(n_frames, with_cam, cfg):
     return calib, frames, gt
 
 
+def _enable_compile_cache():
+    import os
+
+    import jax
+
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/vloam_jax_cache")
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def main(n_frames=100):
+    _enable_compile_cache()
     results = {}
     golden_dir = Path(__file__).resolve().parents[1] / "tests" / "golden"
     golden_dir.mkdir(exist_ok=True)
@@ -82,8 +94,12 @@ def main(n_frames=100):
         m = kitti_metrics(gt, res[which], step=1)
         results[f"lidar_only/{which}"] = m
         print(which, json.dumps(m))
-    print(f"lidar-only: {res['fps']:.1f} fps (wall {wall:.1f}s)")
-    results["lidar_only/fps"] = res["fps"]
+    # steady-state fps: second run, compile already cached in-process
+    res2 = run_sequence_fused(cfg, calib, iter(frames), lidar_only=True,
+                              chunk=10)
+    print(f"lidar-only: first-run {res['fps']:.1f} fps (wall {wall:.1f}s "
+          f"incl. compile), steady {res2['fps']:.1f} fps")
+    results["lidar_only/fps"] = res2["fps"]
     np.save(golden_dir / "synthetic_lidar_MO.npy", res["MO"])
     np.save(golden_dir / "synthetic_gt.npy", gt)
 
@@ -97,8 +113,10 @@ def main(n_frames=100):
         m = kitti_metrics(gt, res_c[which], step=1)
         results[f"combined/{which}"] = m
         print("combined", which, json.dumps(m))
-    print(f"combined: {res_c['fps']:.1f} fps (wall {wall:.1f}s)")
-    results["combined/fps"] = res_c["fps"]
+    res_c2 = run_sequence_fused(cfg_c, calib, iter(frames), chunk=10)
+    print(f"combined: first-run {res_c['fps']:.1f} fps (wall {wall:.1f}s "
+          f"incl. compile), steady {res_c2['fps']:.1f} fps")
+    results["combined/fps"] = res_c2["fps"]
 
     out = Path(__file__).resolve().parents[1] / "RESULTS.md"
     with open(out, "w") as f:
@@ -107,7 +125,7 @@ def main(n_frames=100):
                 "synthetic urban world with exact ground truth; metrics are "
                 "KITTI-devkit style (translational %, rotational deg/m over "
                 "100-800 m subsequences) plus ATE.\n\n")
-        f.write("| run | t_rel % | r deg/m | ATE rmse m | fps |\n")
+        f.write("| run | t_rel % | r deg/m | ATE rmse m | fps (steady, chip) |\n")
         f.write("|-----|---------|---------|------------|-----|\n")
         for key, m in results.items():
             if key.endswith("fps"):
@@ -115,7 +133,13 @@ def main(n_frames=100):
             fps = results.get(key.split("/")[0] + "/fps", 0)
             f.write(f"| {key} | {m['t_rel_percent']:.3f} | "
                     f"{m['r_deg_per_m']:.4f} | {m['ate_rmse_m']:.3f} | "
-                    f"{fps:.0f} |\n")
+                    f"{fps:.1f} |\n")
+        f.write("\nfps = end-to-end second run on the single real TPU chip "
+                "(engine re-created, compile cached): includes host staging, "
+                "upload, device compute, download, f64 export. The headline "
+                "steady-state device rate is bench.py's (see BENCH_r*.json); "
+                "first-run numbers incl. compile are printed in the eval "
+                "log.\n")
     print("wrote", out)
     json.dump(results, open(golden_dir / "synthetic_metrics.json", "w"),
               indent=1)

@@ -84,12 +84,12 @@ def main():
 
     chained("assoc corner (shortlist_ring_assoc)",
             lambda q: shortlist_ring_assoc(q, cq, cr, cm, cfg.lo.nearby_scan,
-                                           "corner", cfg.lo.assoc_shortlist),
+                                           "corner", 24),
             sq)
     chained("assoc surf (shortlist_ring_assoc)",
             lambda q: shortlist_ring_assoc(q, su, sr_, sum_,
                                            cfg.lo.nearby_scan, "surf",
-                                           cfg.lo.assoc_shortlist),
+                                           24),
             fq)
 
     # distance matmul precision variants (surf shape: 2048 x 32768)

@@ -143,3 +143,20 @@ def test_assoc_matches_shortlist_on_dense_cloud():
     np.testing.assert_allclose(np.asarray(exact["d2"])[gated],
                                np.asarray(approx["d2"])[gated],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_ring_min2_pallas_pads_non_tile_query_counts():
+    """Production sharp query count is 768 (sharp_cap), which is NOT a
+    multiple of the default q_tile=512 — the kernel must pad internally
+    and still match the XLA form (ADVICE r2)."""
+    rng = np.random.default_rng(5)
+    slab = _rand_slab(rng, S=8, C=128)
+    q = rng.uniform(-40, 40, (768, 3)).astype(np.float32)
+    slab_t = jnp.asarray(np.swapaxes(slab, 1, 2))
+    qj = jnp.asarray(q)
+    ref = ring_min2_xla(qj, slab_t)
+    got = ring_min2_pallas(qj, slab_t, q_tile=512, interpret=True)
+    assert got[0].shape == (8, 768)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-4)

@@ -36,6 +36,11 @@ def _add_run(sub):
     p.add_argument("--end-frame", type=int, default=-1)
     p.add_argument("--mode", choices=["combined", "detached", "lidar-only"],
                    default="detached")
+    p.add_argument("--sensor", choices=["hdl64", "hdl32", "vlp16", "tiny"],
+                   default="hdl64",
+                   help="lidar sensor profile (reference launch variants "
+                        "loam_velodyne_{HDL_64,HDL_32,VLP_16}.launch; tiny = "
+                        "small-shape test profile for CI fixtures)")
     p.add_argument("--engine", choices=["fused", "host"], default="fused",
                    help="fused: single-jit device-resident chunks (fast); "
                         "host: per-stage host orchestration (debuggable)")
@@ -47,12 +52,70 @@ def _add_run(sub):
     p.add_argument("--out", default=None, help="output directory for txt files")
     p.add_argument("--profile", default=None, help="write a jax trace here")
     p.add_argument("--verbose", type=int, default=1)
+    p.add_argument("--loop-close", action="store_true",
+                   help="after the sequence, detect loop closures (scan "
+                        "re-matching) and re-optimize the MO trajectory "
+                        "with the pose-graph backend; writes MO<d>_loop.txt")
+    p.add_argument("--loop-radius", type=float, default=10.0)
+    p.add_argument("--loop-min-gap", type=int, default=50)
 
 
 def _add_eval(sub):
     p = sub.add_parser("eval", help="KITTI metrics between two pose files")
     p.add_argument("--gt", required=True)
     p.add_argument("--pred", required=True)
+
+
+def _dataset_get_points(ds, start_frame, cfg):
+    """Scan-by-index accessor for the loop-closure backend."""
+    from .data.kitti import load_velodyne_bin
+    from .data.synthetic import pad_scan
+
+    def get_points(k):
+        pts = load_velodyne_bin(ds.velo_files[start_frame + k])
+        return pad_scan(pts, cfg.lidar.max_points)
+
+    return get_points
+
+
+def _run_loop_closure(result, calib, cfg, get_points, args, gt_poses):
+    """Post-sequence loop closure + pose-graph re-optimization of the MO
+    trajectory (new-scope backend; reference drifts without bound)."""
+    from scipy.spatial.transform import Rotation as Rot
+
+    from .backend.loop_closure import close_loops
+    from .fusion.frame_chain import FrameChain
+    from .geometry.np_pose import inv_T, qt_to_T
+
+    chain = FrameChain(np.asarray(calib.imu_T_velo, np.float64),
+                       np.asarray(calib.imu_T_cam0, np.float64))
+    B = chain.base_T_cam0
+    Binv = np.linalg.inv(B)
+    mo = np.asarray(result["MO"], np.float64)  # [N, 3, 4] cam0-start
+    bottom = np.broadcast_to(np.asarray([[0.0, 0, 0, 1]]), (len(mo), 1, 4))
+    X = np.concatenate([mo, bottom], axis=1)
+    W = np.einsum("ij,njk,kl->nil", B, X, Binv)  # world_T_base per frame
+    q_w = Rot.from_matrix(W[:, :3, :3]).as_quat()
+    t_w = W[:, :3, 3]
+
+    res = close_loops(q_w, t_w, get_points, cfg, radius=args.loop_radius,
+                      min_gap=args.loop_min_gap)
+    print(f"loop closure: {len(res['loops'])} loop(s) accepted "
+          f"{res['loops']}")
+    opt = np.asarray(res["poses"], np.float64)
+    Wo = qt_to_T(opt[:, :4], opt[:, 4:])
+    Xo = np.einsum("ij,njk,kl->nil", Binv, Wo, B)
+    traj = np.einsum("ij,njk->nik", inv_T(Xo[0]), Xo)[:, :3, :]
+    result["MO_loop"] = traj
+    if args.out is not None:
+        from pathlib import Path
+
+        from .fusion.frame_chain import write_kitti_pose_line
+
+        suffix = str(int(cfg.detach_VO_LO))
+        with open(Path(args.out) / f"MO{suffix}_loop.txt", "w") as f:
+            for T34 in traj:
+                write_kitti_pose_line(f, T34)
 
 
 def main(argv=None):
@@ -70,11 +133,18 @@ def main(argv=None):
         return 0
 
     # cmd == run
-    from .config import kitti_hdl64
+    from .config import HDL32, VLP16, PipelineConfig, kitti_hdl64, \
+        tiny_test_profile
     from .pipeline import run_sequence, run_sequence_fused
     from .runtime.profiling import summarize_timings
 
-    cfg = kitti_hdl64().replace(
+    cfg = {
+        "hdl64": kitti_hdl64,
+        "hdl32": lambda: PipelineConfig(lidar=HDL32),
+        "vlp16": lambda: PipelineConfig(lidar=VLP16),
+        "tiny": tiny_test_profile,
+    }[args.sensor]()
+    cfg = cfg.replace(
         detach_VO_LO=(args.mode != "combined"), verbose_level=args.verbose
     )
 
@@ -111,6 +181,13 @@ def main(argv=None):
                 yield f
 
         frame_iter = frames()
+
+        def get_points(k):
+            pts = synthetic.simulate_scan(
+                scene, poses[k], n_scans=cfg.lidar.n_scans, n_azimuth=1800,
+                seed=k)
+            return synthetic.pad_scan(pts, cfg.lidar.max_points)
+
         # ground truth in cam0-start-frame for metrics
         T0 = poses[0] @ velo_T_cam
         gt_poses = np.stack([
@@ -125,6 +202,7 @@ def main(argv=None):
         calib = ds.calib
         end = len(ds) if args.end_frame < 0 else min(args.end_frame + 1, len(ds))
         frame_iter = (ds.frame(i) for i in range(args.start_frame, end))
+        get_points = _dataset_get_points(ds, args.start_frame, cfg)
     elif args.raw_root:
         from .data.kitti import KittiRawDrive
 
@@ -134,6 +212,7 @@ def main(argv=None):
         calib = ds.calib
         end = len(ds) if args.end_frame < 0 else min(args.end_frame + 1, len(ds))
         frame_iter = (ds.frame(i) for i in range(args.start_frame, end))
+        get_points = _dataset_get_points(ds, args.start_frame, cfg)
     else:
         ap.error("one of --synthetic / --odometry-root / --raw-root required")
 
@@ -174,10 +253,12 @@ def main(argv=None):
               json.dumps(summarize_timings(result["timings"]), indent=2))
     if "fps" in result:
         print(f"throughput: {result['fps']:.1f} frames/s")
+    if args.loop_close and "MO" in result and len(result["MO"]) > 2:
+        _run_loop_closure(result, calib, cfg, get_points, args, gt_poses)
     if gt_poses is not None:
         from .eval.kitti_metrics import kitti_metrics
 
-        for which in ("VO", "LO", "MO"):
+        for which in ("VO", "LO", "MO", "MO_loop"):
             if which in result and len(result[which]):
                 m = kitti_metrics(gt_poses, result[which], step=1)
                 print(which, json.dumps(m))

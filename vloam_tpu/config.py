@@ -44,12 +44,14 @@ class ScanRegistrationConfig:
     max_flat_per_sector: int = 4
     neighbor_suppress_gap_sq: float = 0.05  # ":358"
     less_flat_leaf: float = 0.2  # VoxelGrid leaf (":436")
-    # True (default) = reference-exact sequential sector order; False runs
-    # the 6 sectors' picks batched per round (differs only when a
-    # suppression window crosses a sector boundary within one round). Both
-    # cost ~1.3 ms/frame on TPU once suppression uses the break-prefix
-    # formulation, so the exact order is the default.
-    strict_sector_order: bool = True
+    # False (default) runs the 6 sectors' picks batched per round; True is
+    # the reference-exact sequential sector order (differs only when a
+    # suppression window crosses a sector boundary within one round,
+    # <1% of labels — test_batched_sector_selection_near_equals_strict).
+    # The strict form's deeply nested scan does NOT compile in benchable
+    # time on the axon TPU backend (>550 s vs 159 s batched, verified on
+    # hardware round 2), so batched is the default.
+    strict_sector_order: bool = False
     # Static caps for the padded feature tensors. sharp/flat are EXACT
     # upper bounds (n_scans * n_sectors * max picks: 64*6*2=768 sharp,
     # 64*6*4=1536 flat — the selection can never overflow them), so the
@@ -72,12 +74,10 @@ class LaserOdometryConfig:
     nearby_scan: float = 2.5  # laser_odometry.h:95
     huber_delta: float = 0.1  # ":217"
     distortion: bool = False  # laser_odometry.h:90 (KITTI clouds pre-deskewed)
-    # Correspondence shortlist size (knn.shortlist_ring_assoc): the ring-
-    # constrained picks are derived from the top-k nearest candidates in one
-    # distance pass instead of a second full sweep; 24 covers the gated
-    # picks at LiDAR densities (validated against the exact two-pass form).
-    assoc_shortlist: int = 24
     mapping_skip_frame: int = 1  # launch:6
+    # Warn when corner+surf correspondences drop below this after the final
+    # round (reference "less correspondence!" laser_odometry.cpp:452-455).
+    min_correspondences: int = 10
 
 
 @dataclass(frozen=True)

@@ -102,7 +102,11 @@ def shortlist_ring_assoc(
     mode: str = "corner",
     shortlist: int = 24,
 ):
-    """LO correspondence search via a distance shortlist (one pass).
+    """LEGACY: superseded by ring_assoc.ring_slab_assoc (exact per-ring min);
+    kept only for the profiling scripts under scripts/ and as a CPU-cheap
+    approximate fallback. Not used by the production LO path.
+
+    LO correspondence search via a distance shortlist (one pass).
 
     The exact formulation (nearest_and_ring_constrained) sweeps the [Q, C]
     distance matrix twice — once for the global nearest, once for the

@@ -419,10 +419,14 @@ class BatchLoamEngine:
         return flat.reshape(self.batch, -1, OUT_DIM)
 
 
-def unpack_outputs(outs: np.ndarray) -> dict:
+def unpack_outputs(outs: np.ndarray, min_correspondences: int = 10) -> dict:
     """Split packed rows into named f64 arrays; recompose the LO world pose
-    in float64 from the f2f increments for export-grade precision."""
-    from scipy.spatial.transform import Rotation as R
+    in float64 from the f2f increments for export-grade precision
+    (vectorized prefix scan — a per-frame loop costs seconds on 4,660-frame
+    sequences). Warns on frames whose LO correspondence count fell below
+    min_correspondences (reference "less correspondence!" warning,
+    laser_odometry.cpp:452-455)."""
+    from ..geometry.np_pose import cumulative_se3
 
     n = len(outs)
     res = {
@@ -436,16 +440,22 @@ def unpack_outputs(outs: np.ndarray) -> dict:
         "n_surf": outs[:, 22].astype(int),
         "mapped": outs[:, 23] > 0.5,
     }
-    q_w = np.zeros((n, 4))
-    t_w = np.zeros((n, 3))
-    q_acc = R.identity()
-    t_acc = np.zeros(3)
-    for k in range(n):
-        if k > 0:
-            t_acc = t_acc + q_acc.apply(res["t_f2f"][k])
-            q_acc = q_acc * R.from_quat(res["q_f2f"][k])
-        q_w[k] = q_acc.as_quat()
-        t_w[k] = t_acc
-    res["q_w_lo"] = q_w
-    res["t_w_lo"] = t_w
+    # frame 0 carries no motion (first frame skips the LO solve)
+    d_q = res["q_f2f"].copy()
+    d_t = res["t_f2f"].copy()
+    if n > 0:
+        d_q[0] = (0.0, 0.0, 0.0, 1.0)
+        d_t[0] = 0.0
+    res["q_w_lo"], res["t_w_lo"] = cumulative_se3(d_q, d_t)
+    degraded = np.flatnonzero(
+        (res["n_corner"] + res["n_surf"] < min_correspondences)
+        & (np.arange(n) > 0))
+    res["lo_degraded"] = degraded
+    if len(degraded):
+        import logging
+
+        logging.getLogger("vloam_tpu").warning(
+            "less correspondence! LO had < %d constraints on %d frame(s): "
+            "%s", min_correspondences, len(degraded),
+            degraded[:16].tolist())
     return res

@@ -201,6 +201,14 @@ class LaserOdometry:
             q = np.asarray(q, np.float64)
             t = np.asarray(t, np.float64)
             self.n_corner, self.n_surf = int(n_c), int(n_s)
+            if self.n_corner + self.n_surf < self.cfg.min_correspondences:
+                import logging
+
+                logging.getLogger("vloam_tpu").warning(
+                    "less correspondence! %d corner + %d surf < %d at "
+                    "frame %d (reference laser_odometry.cpp:452-455)",
+                    self.n_corner, self.n_surf,
+                    self.cfg.min_correspondences, self.frame_count)
             self.q_f2f, self.t_f2f = q, t
             # world accumulation (reference :477-478)
             from scipy.spatial.transform import Rotation as R

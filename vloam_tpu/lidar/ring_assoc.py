@@ -126,9 +126,13 @@ def ring_min2_pallas(queries: jnp.ndarray, slab_t: jnp.ndarray,
     Q = queries.shape[0]
     S, _, C = slab_t.shape
     qt = min(q_tile, Q)
-    assert Q % qt == 0, (Q, qt)
+    if Q % qt:  # pad queries up to a tile multiple; extra rows sliced off
+        pad = qt - Q % qt
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((pad, 3), queries.dtype)], axis=0)
+    Qp = queries.shape[0]
     assert S % _RING_BLK == 0, S
-    grid = (S // _RING_BLK, Q // qt)
+    grid = (S // _RING_BLK, Qp // qt)
     kw = dict(
         grid=grid,
         in_specs=[
@@ -143,15 +147,18 @@ def ring_min2_pallas(queries: jnp.ndarray, slab_t: jnp.ndarray,
             for _ in range(4)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((S, Q), jnp.float32),
-            jax.ShapeDtypeStruct((S, Q), jnp.int32),
-            jax.ShapeDtypeStruct((S, Q), jnp.float32),
-            jax.ShapeDtypeStruct((S, Q), jnp.int32),
+            jax.ShapeDtypeStruct((S, Qp), jnp.float32),
+            jax.ShapeDtypeStruct((S, Qp), jnp.int32),
+            jax.ShapeDtypeStruct((S, Qp), jnp.float32),
+            jax.ShapeDtypeStruct((S, Qp), jnp.int32),
         ],
     )
 
-    return pl.pallas_call(_ring_min2_kernel, interpret=interpret,
+    outs = pl.pallas_call(_ring_min2_kernel, interpret=interpret,
                           **kw)(queries, slab_t)
+    if Qp != Q:
+        outs = tuple(o[:, :Q] for o in outs)
+    return outs
 
 
 def ring_min2_xla(queries: jnp.ndarray, slab_t: jnp.ndarray):

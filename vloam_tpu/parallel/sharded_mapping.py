@@ -1,20 +1,24 @@
-"""Map-sharded scan-to-map alignment (distributed BA core).
+"""Map- AND scan-sharded scan-to-map alignment (distributed BA core).
 
 BASELINE.json north star: "the lidar-mapping stage becomes distributed
 bundle adjustment over map blocks partitioned across a multi-host TPU pod
 slice, solved via Schur-complement reduction with psum/all-gather
-collectives". Concretely:
+collectives". Both the data AND the compute shard over the mesh:
 
-- the gathered map candidate points are sharded over the mesh axis (map
-  blocks),
-- each device computes the 5-NN of every (replicated) scan point against its
-  shard with the dense MXU kernel,
-- per-shard top-k candidates (distances AND coordinates) are all-gathered
-  and merged into the global 5-NN — no cross-device point gathers,
-- the line/plane features and the 6-dof normal equations are reduced with
-  one psum (the Schur reduction: the point-block "inner" variables are
-  eliminated analytically by the closed-form eigen/plane fits; only the
-  6-dof pose block crosses devices),
+- the map candidate points are sharded over the mesh axis (map blocks),
+- the scan stacks are ALSO sharded: each device owns B/D scan points, so
+  k-NN distance compute, feature geometry, and Jacobian work all scale
+  1/D with device count (round 2 replicated the stacks, so only map
+  memory scaled),
+- the global 5-NN of each local scan point is built by rotating the map
+  shards around the ring with ppermute (D-1 hops over ICI) and merging a
+  running top-k of (distance, coordinates) — no device ever holds the
+  whole map,
+- each device accumulates the 6x6 normal equations (H, g) over ITS scan
+  points only, then one psum reduces them (the Schur reduction: the
+  point-block "inner" variables are eliminated analytically by the
+  closed-form eigen/plane fits; only the 6-dof pose block crosses
+  devices),
 - every device applies the identical damped update.
 
 Runs unchanged on a CPU test mesh and a real ICI-connected slice.
@@ -41,20 +45,26 @@ except AttributeError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 
-def _global_knn_from_shards(queries, shard_pts, shard_mask, k, axis):
-    """Inside shard_map: per-shard k-NN then all-gather + merge.
-    Returns (d_sq [Q, k], pts [Q, k, 3]) of the global k nearest."""
-    d_loc, i_loc = masked_knn(queries, shard_pts, shard_mask, k=k)
-    p_loc = shard_pts[i_loc]  # [Q, k, 3]
-    d_all = jax.lax.all_gather(d_loc, axis)  # [D, Q, k]
-    p_all = jax.lax.all_gather(p_loc, axis)  # [D, Q, k, 3]
-    D = d_all.shape[0]
-    q = queries.shape[0]
-    d_cat = jnp.moveaxis(d_all, 0, 1).reshape(q, D * k)
-    p_cat = jnp.moveaxis(p_all, 0, 1).reshape(q, D * k, 3)
-    nd, ni = jax.lax.top_k(-d_cat, k)
-    pts = jnp.take_along_axis(p_cat, ni[:, :, None], axis=1)
-    return -nd, pts
+def _ring_knn(queries, shard_pts, shard_mask, k, axis, n_devices):
+    """Inside shard_map: global k-NN of LOCAL queries against the SHARDED
+    map by rotating the map shard around the ring (ppermute, D-1 hops) and
+    merging a running top-k. Returns (d_sq [Qd, k], pts [Qd, k, 3]) — the
+    true global k nearest, with both distances and coordinates resolved
+    locally (no cross-device point gathers)."""
+    d, i = masked_knn(queries, shard_pts, shard_mask, k=k)
+    best_d, best_p = d, shard_pts[i]
+    pts, mask = shard_pts, shard_mask
+    perm = [(j, (j + 1) % n_devices) for j in range(n_devices)]
+    for _ in range(n_devices - 1):
+        pts = jax.lax.ppermute(pts, axis, perm)
+        mask = jax.lax.ppermute(mask, axis, perm)
+        d, i = masked_knn(queries, pts, mask, k=k)
+        cand_d = jnp.concatenate([best_d, d], axis=1)  # [Qd, 2k]
+        cand_p = jnp.concatenate([best_p, pts[i]], axis=1)
+        nd, ni = jax.lax.top_k(-cand_d, k)
+        best_d = -nd
+        best_p = jnp.take_along_axis(cand_p, ni[:, :, None], axis=1)
+    return best_d, best_p
 
 
 def _corner_geometry(mask, near, d, cfg):
@@ -108,9 +118,9 @@ def _accumulate(res_fn, w_mask, huber_delta):
 
 def sharded_map_alignment(
     mesh: Mesh,
-    corner_stack: jnp.ndarray,  # [Bc, 3] replicated
+    corner_stack: jnp.ndarray,  # [Bc, 3] sharded over axis (Bc % D == 0)
     corner_mask: jnp.ndarray,
-    surf_stack: jnp.ndarray,  # [Bs, 3] replicated
+    surf_stack: jnp.ndarray,  # [Bs, 3] sharded over axis (Bs % D == 0)
     surf_mask: jnp.ndarray,
     map_corner: jnp.ndarray,  # [Cc, 3] sharded over axis
     map_corner_mask: jnp.ndarray,
@@ -119,20 +129,25 @@ def sharded_map_alignment(
     x0: jnp.ndarray,  # [7] (quat, t)
     cfg: LaserMappingConfig,
     axis: str = "data",
+    return_counts: bool = False,
 ):
-    """Distributed scan-to-map pose refinement. Returns x [7]."""
+    """Distributed scan-to-map pose refinement. Returns x [7]; with
+    return_counts also the per-device accepted residual counts [D]
+    (final round), for load-balance checks."""
+    D = mesh.shape[axis]
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(axis), P(axis),
-                       P()),
-             out_specs=P(), check_vma=False)
+             in_specs=(P(axis), P(axis), P(axis), P(axis),
+                       P(axis), P(axis), P(axis), P(axis), P()),
+             out_specs=(P(), P(axis)), check_vma=False)
     def run(c_stack, c_mask, s_stack, s_mask, mc, mc_m, ms, ms_m, x):
-        def round_body(_, x):
+        def round_body(_, carry):
+            x, _ = carry
             q, t = x[:4], x[4:]
             pc = so3.quat_rotate(q, c_stack) + t
             ps = so3.quat_rotate(q, s_stack) + t
-            d_c, near_c = _global_knn_from_shards(pc, mc, mc_m, cfg.knn, axis)
-            d_s, near_s = _global_knn_from_shards(ps, ms, ms_m, cfg.knn, axis)
+            d_c, near_c = _ring_knn(pc, mc, mc_m, cfg.knn, axis, D)
+            d_s, near_s = _ring_knn(ps, ms, ms_m, cfg.knn, axis, D)
             a, b, de, w_c = _corner_geometry(c_mask, near_c, d_c, cfg)
             n_hat, nood, w_s = _surf_geometry(s_mask, near_s, d_s, cfg)
 
@@ -152,18 +167,26 @@ def sharded_map_alignment(
                     pw = so3.quat_rotate(qd, s_stack) + td
                     return (jnp.sum(pw * n_hat, axis=-1) + nood)[:, None]
 
+                # per-shard partial normal equations over LOCAL scan points,
+                # reduced with ONE psum — the Schur-style 6x6 reduction
                 Hc, gc, _ = _accumulate(fn_c, w_c, cfg.huber_delta)
                 Hs, gs, _ = _accumulate(fn_s, w_s, cfg.huber_delta)
-                delta = solve_damped(Hc + Hs, gc + gs, jnp.float32(1e-4))
+                H = jax.lax.psum(Hc + Hs, axis)
+                g = jax.lax.psum(gc + gs, axis)
+                delta = solve_damped(H, g, jnp.float32(1e-4))
                 return _retract(x_in, -delta)
 
-            # association is shared across devices (replicated stacks, global
-            # NN), so the per-round GN runs identically everywhere — the only
-            # collectives are the k-NN all_gathers above.
-            return jax.lax.fori_loop(0, cfg.gn_iterations, gn_body, x)
+            x_new = jax.lax.fori_loop(0, cfg.gn_iterations, gn_body, x)
+            n_loc = jnp.sum(w_c) + jnp.sum(w_s)
+            return x_new, n_loc
 
-        return jax.lax.fori_loop(0, cfg.outer_rounds, round_body, x)
+        x_out, n_loc = jax.lax.fori_loop(0, cfg.outer_rounds, round_body,
+                                         (x, jnp.float32(0)))
+        return x_out, n_loc[None]
 
-    return run(corner_stack, corner_mask, surf_stack, surf_mask,
-               map_corner, map_corner_mask, map_surf, map_surf_mask,
-               x0.astype(jnp.float32))
+    x, counts = run(corner_stack, corner_mask, surf_stack, surf_mask,
+                    map_corner, map_corner_mask, map_surf, map_surf_mask,
+                    x0.astype(jnp.float32))
+    if return_counts:
+        return x, counts
+    return x

@@ -220,20 +220,20 @@ class VisionState(NamedTuple):
                            s.prev_img, s.prev_grid)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def vo_frame_jit(
+def _vision_frame_core(
     vstate: VisionState,
     scan: jnp.ndarray,
     n_pts: jnp.ndarray,
     image_u8: jnp.ndarray,
-    q_lo_f2f: jnp.ndarray,  # previous LO f2f (velo frame) for seeding
-    t_lo_f2f: jnp.ndarray,
+    a_seed: jnp.ndarray,  # [3] axis-angle VO seed (cam frame)
+    t_seed: jnp.ndarray,  # [3]
     initialized: jnp.ndarray,  # bool
     ext: CamExtrinsics,
     cfg: PipelineConfig,
 ):
-    """Vision half of the VLOAM frame: detect/describe/match + depth grid +
-    VO solve. Returns (vstate', prior_q, prior_t, vo_ok, vo_out [9])."""
+    """Vision half of one VLOAM frame: detect/describe/match + depth grid +
+    VO solve with an explicit (already cam-frame) seed. Returns
+    (vstate', prior_q, prior_t, vo_ok, vo_out [9], q_vo, t_vo)."""
     img = image_u8.astype(jnp.float32) / 255.0
     if cfg.vo.clahe:
         img = features.clahe(img)
@@ -246,9 +246,6 @@ def vo_frame_jit(
     in_mask = jnp.arange(scan.shape[0]) < n_pts
     grid = build_depth_grid(scan, in_mask, ext.P_velo_to_img, cfg.vo)
 
-    q_lo_i, t_lo_i = _invert(q_lo_f2f, t_lo_f2f)
-    q_seed, t_seed = _conjugate(ext.q_base_cam, ext.t_base_cam, q_lo_i, t_lo_i)
-    a_seed = so3.axis_angle_from_quat(q_seed)
     if cfg.vo.reset_VO_to_identity:
         a_seed = jnp.zeros(3, jnp.float32)
         t_seed = jnp.zeros(3, jnp.float32)
@@ -284,7 +281,74 @@ def vo_frame_jit(
     vo_out = jnp.concatenate([
         q_vo, t_vo, jnp.asarray([n32, n22], jnp.float32)
     ])
+    return new_vstate, q_pr, t_pr, vo_ok, vo_out, q_vo, t_vo
+
+
+def _seed_from_lo_f2f(q_lo_f2f, t_lo_f2f, ext):
+    """cam-frame VO seed from the LO f2f estimate:
+    cam0_curr_LOT_cam0_prev = base_T_cam0^-1 * T_lo_f2f^-1 * base_T_cam0
+    (visual_odometry.cpp:269-281)."""
+    q_lo_i, t_lo_i = _invert(q_lo_f2f, t_lo_f2f)
+    q_seed, t_seed = _conjugate(ext.q_base_cam, ext.t_base_cam, q_lo_i, t_lo_i)
+    return so3.axis_angle_from_quat(q_seed), t_seed
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def vo_frame_jit(
+    vstate: VisionState,
+    scan: jnp.ndarray,
+    n_pts: jnp.ndarray,
+    image_u8: jnp.ndarray,
+    q_lo_f2f: jnp.ndarray,  # previous LO f2f (velo frame) for seeding
+    t_lo_f2f: jnp.ndarray,
+    initialized: jnp.ndarray,  # bool
+    ext: CamExtrinsics,
+    cfg: PipelineConfig,
+):
+    """Vision half of the VLOAM frame: detect/describe/match + depth grid +
+    VO solve. Returns (vstate', prior_q, prior_t, vo_ok, vo_out [9])."""
+    a_seed, t_seed = _seed_from_lo_f2f(q_lo_f2f, t_lo_f2f, ext)
+    new_vstate, q_pr, t_pr, vo_ok, vo_out, _, _ = _vision_frame_core(
+        vstate, scan, n_pts, image_u8, a_seed, t_seed, initialized, ext, cfg)
     return new_vstate, q_pr, t_pr, vo_ok, vo_out
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def vision_run_chunk(
+    vstate: VisionState,
+    scans: jnp.ndarray,  # [F, max_points, 3]
+    n_pts: jnp.ndarray,  # [F]
+    images_u8: jnp.ndarray,  # [F, H, W] uint8
+    q_lo_f2f: jnp.ndarray,  # [4] LO f2f at chunk entry (seed for frame 0)
+    t_lo_f2f: jnp.ndarray,  # [3]
+    first_initialized: jnp.ndarray,  # bool: is chunk frame 0 a non-first frame
+    ext: CamExtrinsics,
+    cfg: PipelineConfig,
+):
+    """Vision half over F frames in ONE device program (lax.scan).
+
+    Intra-chunk seeding: the reference seeds each VO solve from the last LO
+    f2f estimate (visual_odometry.cpp:269-281), which is unavailable
+    mid-chunk (LOAM runs as the second program); frames after the first seed
+    from the previous frame's own VO estimate instead — an equally good LM
+    init (both approximate the same inter-frame motion; the solve converges
+    to the same optimum). Returns (vstate', prior_q [F,4], prior_t [F,3],
+    vo_ok [F], vo_out [F,9])."""
+    a0, t0 = _seed_from_lo_f2f(q_lo_f2f, t_lo_f2f, ext)
+
+    def body(carry, inp):
+        vst, a_seed, t_seed, initialized = carry
+        scan, n, img = inp
+        vst, q_pr, t_pr, vo_ok, vo_out, q_vo, t_vo = _vision_frame_core(
+            vst, scan, n, img, a_seed, t_seed, initialized, ext, cfg)
+        a_next = jnp.where(vo_ok, so3.axis_angle_from_quat(q_vo), a_seed)
+        t_next = jnp.where(vo_ok, t_vo, t_seed)
+        return ((vst, a_next, t_next, jnp.bool_(True)),
+                (q_pr, t_pr, vo_ok, vo_out))
+
+    (vstate, _, _, _), outs = jax.lax.scan(
+        body, (vstate, a0, t0, first_initialized), (scans, n_pts, images_u8))
+    return (vstate,) + outs
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
@@ -297,20 +361,28 @@ def loam_frame_jit(state: LoamState, scan, n_pts, prior_q, prior_t,
 class VloamEngine:
     """Host wrapper for the fused VLOAM pipeline (camera + lidar).
 
-    Runs two alternating device programs per frame — the vision step (small
-    state: keypoints/descriptors/depth grid) and the LOAM step (large state:
-    cube map) — exchanging the VO<->LO coupling as tiny device arrays. Split
-    this way, the cube map keeps its in-place buffer aliasing (a single
-    fused program copies the ~300 MB map every frame; see vloam_run_chunk).
-    No per-frame host downloads; packed outputs are fetched in finish()."""
+    Runs two device programs per CHUNK of F frames — the vision chunk
+    (lax.scan over detect/describe/match/depth/VO, small state) and the
+    LOAM chunk (lax.scan over scanreg/LO/MO, large cube-map state) —
+    exchanging the VO->LO priors as [F]-shaped device arrays. Two programs
+    instead of one keeps the cube map's in-place buffer aliasing (a single
+    fused program copies the ~300 MB map every frame; see vloam_run_chunk);
+    two programs per CHUNK instead of per FRAME amortizes the ~30 ms/call
+    dispatch latency of the tunnel backend over F frames (per-frame
+    alternation capped the combined mode at ~2 fps regardless of device
+    speed). No per-frame host downloads; packed outputs are fetched in
+    finish()."""
 
-    def __init__(self, cfg: PipelineConfig, calib, chunk: int = 4):
+    def __init__(self, cfg: PipelineConfig, calib, chunk: int = 8):
         self.cfg = cfg
-        self.chunk = chunk  # kept for API compat; steps run per frame
+        self.chunk = chunk
         self.ext = CamExtrinsics.from_calib(calib)
         self.vstate = VisionState.create(cfg)
         self.lstate = LoamState.create(cfg)
-        self._outs = []  # device arrays [VLOAM_OUT_DIM]
+        self._outs = []  # device arrays [F, VLOAM_OUT_DIM]
+        self._scans: list[np.ndarray] = []
+        self._ns: list[int] = []
+        self._imgs: list[np.ndarray] = []
         self._frame = 0
 
     @property
@@ -324,31 +396,51 @@ class VloamEngine:
         padded, n = pad_scan(points, self.cfg.lidar.max_points)
         if image.dtype != np.uint8:
             image = np.clip(image * 255.0, 0, 255).astype(np.uint8)
-        scan = jnp.asarray(padded)
-        img = jnp.asarray(image)
-        n_dev = jnp.int32(n)
-        initialized = jnp.bool_(self._frame > 0)
-        self.vstate, q_pr, t_pr, vo_ok, vo_out = vo_frame_jit(
-            self.vstate, scan, n_dev, img, self.lstate.q_f2f,
-            self.lstate.t_f2f, initialized, self.ext, self.cfg)
+        self._scans.append(padded)
+        self._ns.append(n)
+        self._imgs.append(image)
+        if len(self._scans) >= self.chunk:
+            self._flush()
+
+    def _flush(self):
+        from .lidar.loam_step import loam_run_chunk, loam_run_chunk_dyn
+
+        f = len(self._scans)
+        if f == 0:
+            return
+        scans = jnp.asarray(np.stack(self._scans))
+        ns = jnp.asarray(np.asarray(self._ns, np.int32))
+        imgs = jnp.asarray(np.stack(self._imgs))
+        self._scans, self._ns, self._imgs = [], [], []
+
+        first_init = jnp.bool_(self._frame > 0)
+        self.vstate, q_pr, t_pr, vo_ok, vo_out = vision_run_chunk(
+            self.vstate, scans, ns, imgs, self.lstate.q_f2f,
+            self.lstate.t_f2f, first_init, self.ext, self.cfg)
         use_prior = jnp.logical_and(
             jnp.logical_not(self.cfg.detach_VO_LO), vo_ok)
-        self.lstate, loam_out = loam_frame_jit(
-            self.lstate, scan, n_dev, q_pr, t_pr, use_prior, self.cfg)
-        self._outs.append(jnp.concatenate([loam_out, vo_out]))
-        self._frame += 1
+        run = loam_run_chunk if f == self.chunk else loam_run_chunk_dyn
+        self.lstate, loam_out = run(self.lstate, scans, ns, q_pr, t_pr,
+                                    use_prior, self.cfg)
+        self._outs.append(jnp.concatenate([loam_out, vo_out], axis=1))
+        self._frame += f
 
     def finish(self) -> np.ndarray:
+        self._flush()
         if not self._outs:
             return np.zeros((0, VLOAM_OUT_DIM), np.float32)
-        stacked = jnp.stack(self._outs).reshape(-1)
+        stacked = jnp.concatenate(self._outs, axis=0).reshape(-1)
         return np.asarray(stacked).reshape(-1, VLOAM_OUT_DIM)
 
 
 def unpack_vloam_outputs(outs: np.ndarray, calib) -> dict:
     """Named arrays + the three exported cam0-start-frame trajectories
-    (VO/LO/MO), recomposed in float64 through the FrameChain."""
-    from .fusion.frame_chain import FrameChain, from_qt
+    (VO/LO/MO), recomposed in float64 with the FrameChain algebra
+    (vloam_tf.cpp:59-153), vectorized: prefix-scan the VO world chain,
+    then one batched conjugation per stream (a per-frame Python loop
+    costs seconds on 4,660-frame sequences)."""
+    from .fusion.frame_chain import FrameChain
+    from .geometry.np_pose import inv_T, mat_cumprod, qt_to_T
     from .lidar.loam_step import unpack_outputs
 
     res = unpack_outputs(outs[:, :24])
@@ -357,17 +449,29 @@ def unpack_vloam_outputs(outs: np.ndarray, calib) -> dict:
     res["n32"] = outs[:, 31].astype(int)
     res["n22"] = outs[:, 32].astype(int)
 
+    n = len(outs)
     chain = FrameChain(np.asarray(calib.imu_T_velo, np.float64),
                        np.asarray(calib.imu_T_cam0, np.float64))
-    trajs = {"VO": [], "LO": [], "MO": []}
-    for k in range(len(outs)):
-        if k > 0:
-            chain.vo_update(from_qt(res["q_vo"][k], res["t_vo"][k]))
-        chain.lo_update(res["q_f2f"][k], res["t_f2f"][k],
-                        res["q_w_lo"][k], res["t_w_lo"][k])
-        chain.mo_update(res["q_w_mo"][k], res["t_w_mo"][k])
-        for which in ("VO", "LO", "MO"):
-            trajs[which].append(chain.to_cam0_start(which, k))
-    for which in trajs:
-        res[f"traj_{which}"] = np.stack(trajs[which])
+    B = chain.base_T_cam0
+    Binv = np.linalg.inv(B)
+
+    # VO world accumulation (vloam_tf.cpp:59-75): per-frame increment
+    # base_last_T_base_curr = B @ inv(cam0_curr_T_cam0_last) @ B^-1,
+    # identity on frame 0 and on non-finite solves (the NaN guard).
+    C = qt_to_T(res["q_vo"], res["t_vo"])
+    M = np.einsum("ij,njk,kl->nil", B, inv_T(C), Binv)
+    bad = ~np.isfinite(M).all(axis=(1, 2))
+    if n > 0:
+        bad[0] = True
+    M[bad] = np.eye(4)
+    worlds = {
+        "VO": mat_cumprod(M),
+        "LO": qt_to_T(res["q_w_lo"], res["t_w_lo"]),
+        "MO": qt_to_T(res["q_w_mo"], res["t_w_mo"]),
+    }
+    # export re-based to the cam0 start frame (vloam_tf.cpp:77-153)
+    for which, W in worlds.items():
+        X = np.einsum("ij,njk,kl->nil", Binv, W, B)
+        start_inv = inv_T(X[0]) if n > 0 else np.eye(4)
+        res[f"traj_{which}"] = np.einsum("ij,njk->nik", start_inv, X)[:, :3, :]
     return res
