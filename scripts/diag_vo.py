@@ -191,3 +191,264 @@ def ablate(n_pairs=8):
         print(f"{name:22s} rot {arr[:,0].mean():6.2f} mrad  trans "
               f"{arr[:,1].mean():5.0f} mm  n32 {arr[:,2].mean():5.0f}  "
               f"n22 {arr[:,3].mean():5.0f}", flush=True)
+
+
+def error_anatomy(n_pairs=8):
+    """Decompose the f2f translation error into camera-frame components
+    (z = forward/scale) and test gt-depth substitution to isolate the
+    depth-association contribution."""
+    cfg = kitti_hdl64()
+    vo = cfg.vo
+    K, P_rect0, cam_T_velo, velo_T_cam = synthetic.default_cam_calib(
+        vo.img_width, vo.img_height)
+    P_velo_to_img = P_rect0 @ np.linalg.inv(velo_T_cam)
+    poses = synthetic.drive_trajectory(n_pairs + 1, speed=1.2, yaw_rate=0.008)
+    frames = load_frames(n_pairs + 1)
+    Kj = jnp.asarray(K, jnp.float32)
+    scene = synthetic.urban_scene(0, extent=140.0, n_boxes=24, n_poles=32)
+
+    errs, errs_gtd = [], []
+    for k in range(n_pairs):
+        img0 = jnp.asarray(frames[k]["image"], jnp.float32)
+        img1 = jnp.asarray(frames[k + 1]["image"], jnp.float32)
+        xy0, sc0, m0 = features.detect_keypoints(img0, vo)
+        xy1, sc1, m1 = features.detect_keypoints(img1, vo)
+        d0 = features.describe_keypoints(img0, xy0, vo)
+        d1 = features.describe_keypoints(img1, xy1, vo)
+        idx1, ok = features.match_descriptors(d0, m0, d1, m1, vo.match_ratio,
+                                              matcher=vo.matcher,
+                                              select=vo.match_select)
+        prev_uv, curr_uv, valid = xy0, xy1[idx1], ok
+        pts0 = frames[k]["points"]
+        grid0 = build_depth_grid(jnp.asarray(pts0, jnp.float32),
+                                 jnp.ones(len(pts0), bool),
+                                 jnp.asarray(P_velo_to_img, jnp.float32), vo)
+        T_prev = poses[k] @ velo_T_cam
+        T_curr = poses[k + 1] @ velo_T_cam
+        T_gt = np.linalg.inv(T_curr) @ T_prev
+
+        def solve_with(grid):
+            a, t, n32, n22 = solve_vo(
+                jnp.asarray(prev_uv), jnp.asarray(curr_uv), jnp.asarray(valid),
+                grid, Kj, jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
+                vo)
+            T_est = np.eye(4)
+            T_est[:3, :3] = R.from_rotvec(np.asarray(a, float)).as_matrix()
+            T_est[:3, 3] = np.asarray(t, float)
+            dT = np.linalg.inv(T_gt) @ T_est
+            return dT[:3, 3] * 1e3
+
+        errs.append(solve_with(grid0))
+
+        # gt-depth grid: raycast the true depth at each bucket center
+        from vloam_tpu.vision.depth_map import DepthGrid
+        g = grid0
+        u = np.asarray(g.u).ravel(); v = np.asarray(g.v).ravel()
+        cnt = np.asarray(g.cnt).ravel()
+        live = cnt > 0
+        bear = np.linalg.solve(K, np.stack(
+            [u, v, np.ones_like(u)])).T
+        bear /= np.linalg.norm(bear, axis=1, keepdims=True)
+        Rc = T_prev[:3, :3]; tc = T_prev[:3, 3]
+        dirs = bear @ Rc.T
+        org = np.broadcast_to(tc, dirs.shape)
+        rng_t = synthetic._ray_scene_range(org, dirs, scene)
+        zt = np.where(np.isfinite(rng_t), rng_t * bear[:, 2], 0.0)
+        z_gt = np.where(live & (zt > 0), zt, 0.0).astype(np.float32)
+        g2 = DepthGrid(u=g.u, v=g.v, z=jnp.asarray(z_gt.reshape(g.z.shape)),
+                       cnt=g.cnt)
+        errs_gtd.append(solve_with(g2))
+
+    for name, e in [("lidar depth", np.asarray(errs)),
+                    ("gt-ray depth", np.asarray(errs_gtd))]:
+        print(f"{name}: mean err vec (x,y,z mm) = "
+              f"{np.round(e.mean(0), 1).tolist()}  |e| mean "
+              f"{np.linalg.norm(e, axis=1).mean():.0f} mm")
+
+
+def family_ablation(n_pairs=8):
+    """Isolate residual families and the truncation quirk."""
+    import dataclasses
+    cfg = kitti_hdl64()
+    vo = cfg.vo
+    K, P_rect0, cam_T_velo, velo_T_cam = synthetic.default_cam_calib(
+        vo.img_width, vo.img_height)
+    P_velo_to_img = P_rect0 @ np.linalg.inv(velo_T_cam)
+    poses = synthetic.drive_trajectory(n_pairs + 1, speed=1.2, yaw_rate=0.008)
+    frames = load_frames(n_pairs + 1)
+    Kj = jnp.asarray(K, jnp.float32)
+    variants = {
+        "base": (vo, None),
+        "subpixel": (dataclasses.replace(vo, subpixel=True), None),
+        "only32": (vo, "32"),
+        "only22": (vo, "22"),
+        "subpix_only32": (dataclasses.replace(vo, subpixel=True), "32"),
+    }
+    for name, (vo_cfg, fam) in variants.items():
+        errs = []
+        for k in range(n_pairs):
+            img0 = jnp.asarray(frames[k]["image"], jnp.float32)
+            img1 = jnp.asarray(frames[k + 1]["image"], jnp.float32)
+            xy0, sc0, m0 = features.detect_keypoints(img0, vo_cfg)
+            xy1, sc1, m1 = features.detect_keypoints(img1, vo_cfg)
+            d0 = features.describe_keypoints(img0, xy0, vo_cfg)
+            d1 = features.describe_keypoints(img1, xy1, vo_cfg)
+            idx1, ok = features.match_descriptors(d0, m0, d1, m1,
+                                                  vo_cfg.match_ratio,
+                                                  matcher=vo_cfg.matcher,
+                                                  select=vo_cfg.match_select)
+            prev_uv, curr_uv, valid = xy0, xy1[idx1], np.asarray(ok)
+            pts0 = frames[k]["points"]
+            grid0 = build_depth_grid(jnp.asarray(pts0, jnp.float32),
+                                     jnp.ones(len(pts0), bool),
+                                     jnp.asarray(P_velo_to_img, jnp.float32),
+                                     vo_cfg)
+            if fam is not None:
+                dep = np.asarray(query_depth(
+                    grid0, jnp.trunc(jnp.asarray(prev_uv)), vo_cfg))
+                if fam == "32":
+                    valid = valid & (dep > 0)
+                else:
+                    valid = valid & ~(dep > 0)
+            T_prev = poses[k] @ velo_T_cam
+            T_curr = poses[k + 1] @ velo_T_cam
+            T_gt = np.linalg.inv(T_curr) @ T_prev
+            a, t, n32, n22 = solve_vo(
+                jnp.asarray(prev_uv), jnp.asarray(curr_uv), jnp.asarray(valid),
+                grid0, Kj, jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
+                vo_cfg)
+            T_est = np.eye(4)
+            T_est[:3, :3] = R.from_rotvec(np.asarray(a, float)).as_matrix()
+            T_est[:3, 3] = np.asarray(t, float)
+            dT = np.linalg.inv(T_gt) @ T_est
+            errs.append(np.concatenate([dT[:3, 3] * 1e3,
+                                        [R.from_matrix(dT[:3, :3]).magnitude() * 1e3,
+                                         float(n32), float(n22)]]))
+        e = np.asarray(errs)
+        print(f"{name:14s} err(x,y,z)mm {np.round(e[:, :3].mean(0), 1).tolist()}"
+              f"  |t| {np.linalg.norm(e[:, :3], axis=1).mean():4.0f} mm"
+              f"  rot {e[:, 3].mean():5.2f} mrad  n32 {e[:, 4].mean():4.0f}"
+              f"  n22 {e[:, 5].mean():4.0f}", flush=True)
+
+
+def improve_ablation(n_pairs=8):
+    """Candidate accuracy improvements: subpixel corners, depth-spread
+    gate, combinations."""
+    import dataclasses
+    cfg = kitti_hdl64()
+    vo = cfg.vo
+    K, P_rect0, cam_T_velo, velo_T_cam = synthetic.default_cam_calib(
+        vo.img_width, vo.img_height)
+    P_velo_to_img = P_rect0 @ np.linalg.inv(velo_T_cam)
+    poses = synthetic.drive_trajectory(n_pairs + 1, speed=1.2, yaw_rate=0.008)
+    frames = load_frames(n_pairs + 1)
+    Kj = jnp.asarray(K, jnp.float32)
+    variants = {
+        "base": {},
+        "subpix": {"subpixel": True},
+        "spread1": {"max_depth_spread": 1.0},
+        "spread2": {"max_depth_spread": 2.0},
+        "spread05": {"max_depth_spread": 0.5},
+        "subpix+spread1": {"subpixel": True, "max_depth_spread": 1.0},
+        "subpix+spread1+kp2048": {"subpixel": True, "max_depth_spread": 1.0,
+                                  "max_keypoints": 2048,
+                                  "shi_tomasi_quality": 0.01},
+    }
+    for name, kw in variants.items():
+        vo_cfg = dataclasses.replace(vo, **kw)
+        errs = []
+        for k in range(n_pairs):
+            img0 = jnp.asarray(frames[k]["image"], jnp.float32)
+            img1 = jnp.asarray(frames[k + 1]["image"], jnp.float32)
+            xy0, sc0, m0 = features.detect_keypoints(img0, vo_cfg)
+            xy1, sc1, m1 = features.detect_keypoints(img1, vo_cfg)
+            d0 = features.describe_keypoints(img0, xy0, vo_cfg)
+            d1 = features.describe_keypoints(img1, xy1, vo_cfg)
+            idx1, ok = features.match_descriptors(d0, m0, d1, m1,
+                                                  vo_cfg.match_ratio,
+                                                  matcher=vo_cfg.matcher,
+                                                  select=vo_cfg.match_select)
+            prev_uv, curr_uv, valid = xy0, xy1[idx1], ok
+            pts0 = frames[k]["points"]
+            grid0 = build_depth_grid(jnp.asarray(pts0, jnp.float32),
+                                     jnp.ones(len(pts0), bool),
+                                     jnp.asarray(P_velo_to_img, jnp.float32),
+                                     vo_cfg)
+            T_prev = poses[k] @ velo_T_cam
+            T_curr = poses[k + 1] @ velo_T_cam
+            T_gt = np.linalg.inv(T_curr) @ T_prev
+            a, t, n32, n22 = solve_vo(
+                jnp.asarray(prev_uv), jnp.asarray(curr_uv), jnp.asarray(valid),
+                grid0, Kj, jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
+                vo_cfg)
+            T_est = np.eye(4)
+            T_est[:3, :3] = R.from_rotvec(np.asarray(a, float)).as_matrix()
+            T_est[:3, 3] = np.asarray(t, float)
+            dT = np.linalg.inv(T_gt) @ T_est
+            errs.append(np.concatenate([dT[:3, 3] * 1e3,
+                                        [R.from_matrix(dT[:3, :3]).magnitude() * 1e3,
+                                         float(n32), float(n22)]]))
+        e = np.asarray(errs)
+        print(f"{name:24s} err(x,y,z)mm {np.round(e[:, :3].mean(0), 1).tolist()}"
+              f"  |t| {np.linalg.norm(e[:, :3], axis=1).mean():4.0f} mm"
+              f"  rot {e[:, 3].mean():5.2f} mrad  n32 {e[:, 4].mean():4.0f}"
+              f"  n22 {e[:, 5].mean():4.0f}", flush=True)
+
+
+def improve_ablation2(n_pairs=8, variants=None):
+    import dataclasses
+    cfg = kitti_hdl64()
+    vo = cfg.vo
+    K, P_rect0, cam_T_velo, velo_T_cam = synthetic.default_cam_calib(
+        vo.img_width, vo.img_height)
+    P_velo_to_img = P_rect0 @ np.linalg.inv(velo_T_cam)
+    poses = synthetic.drive_trajectory(n_pairs + 1, speed=1.2, yaw_rate=0.008)
+    frames = load_frames(n_pairs + 1)
+    Kj = jnp.asarray(K, jnp.float32)
+    variants = variants or {
+        "subpix": {"subpixel": True},
+        "subpix_h05": {"subpixel": True, "huber_delta": 0.05},
+        "subpix_h02": {"subpixel": True, "huber_delta": 0.02},
+        "subpix_nn": {"subpixel": True, "match_select": "nn"},
+        "subpix_r75": {"subpixel": True, "match_ratio": 0.75},
+        "subpix_patch24": {"subpixel": True, "descriptor_patch": 24},
+    }
+    for name, kw in variants.items():
+        vo_cfg = dataclasses.replace(vo, **kw)
+        errs = []
+        for k in range(n_pairs):
+            img0 = jnp.asarray(frames[k]["image"], jnp.float32)
+            img1 = jnp.asarray(frames[k + 1]["image"], jnp.float32)
+            xy0, sc0, m0 = features.detect_keypoints(img0, vo_cfg)
+            xy1, sc1, m1 = features.detect_keypoints(img1, vo_cfg)
+            d0 = features.describe_keypoints(img0, xy0, vo_cfg)
+            d1 = features.describe_keypoints(img1, xy1, vo_cfg)
+            idx1, ok = features.match_descriptors(d0, m0, d1, m1,
+                                                  vo_cfg.match_ratio,
+                                                  matcher=vo_cfg.matcher,
+                                                  select=vo_cfg.match_select)
+            prev_uv, curr_uv, valid = xy0, xy1[idx1], ok
+            pts0 = frames[k]["points"]
+            grid0 = build_depth_grid(jnp.asarray(pts0, jnp.float32),
+                                     jnp.ones(len(pts0), bool),
+                                     jnp.asarray(P_velo_to_img, jnp.float32),
+                                     vo_cfg)
+            T_prev = poses[k] @ velo_T_cam
+            T_curr = poses[k + 1] @ velo_T_cam
+            T_gt = np.linalg.inv(T_curr) @ T_prev
+            a, t, n32, n22 = solve_vo(
+                jnp.asarray(prev_uv), jnp.asarray(curr_uv), jnp.asarray(valid),
+                grid0, Kj, jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
+                vo_cfg)
+            T_est = np.eye(4)
+            T_est[:3, :3] = R.from_rotvec(np.asarray(a, float)).as_matrix()
+            T_est[:3, 3] = np.asarray(t, float)
+            dT = np.linalg.inv(T_gt) @ T_est
+            errs.append(np.concatenate([dT[:3, 3] * 1e3,
+                                        [R.from_matrix(dT[:3, :3]).magnitude() * 1e3,
+                                         float(n32), float(n22)]]))
+        e = np.asarray(errs)
+        print(f"{name:18s} err(x,y,z)mm {np.round(e[:, :3].mean(0), 1).tolist()}"
+              f"  |t| {np.linalg.norm(e[:, :3], axis=1).mean():4.0f} mm"
+              f"  rot {e[:, 3].mean():5.2f} mrad  n32 {e[:, 4].mean():4.0f}"
+              f"  n22 {e[:, 5].mean():4.0f}", flush=True)

@@ -22,7 +22,8 @@ CACHE = Path("/tmp/vloam_synth_cache")
 
 
 def build_frames(n_frames, with_cam, cfg):
-    scene = synthetic.urban_scene(0, extent=140.0, n_boxes=24, n_poles=32)
+    scene = synthetic.urban_scene(0, extent=160.0, n_boxes=36, n_poles=48,
+                                  scatter=24)
     K, P_rect0, cam_T_velo, velo_T_cam = synthetic.default_cam_calib(
         cfg.vo.img_width, cfg.vo.img_height)
 
@@ -35,7 +36,12 @@ def build_frames(n_frames, with_cam, cfg):
     calib.P_velo_to_img = P_rect0 @ np.linalg.inv(velo_T_cam)
     calib.imu_T_velo = np.eye(4)
     calib.imu_T_cam0 = velo_T_cam
-    poses = synthetic.drive_trajectory(n_frames, speed=1.2, yaw_rate=0.008)
+    # S-curve staying on the street (real drives follow roads); both turn
+    # directions exercised, |heading| <= ~0.15 rad
+    k = np.arange(n_frames)
+    yaw = np.where(k < n_frames // 4, 0.006,
+                   np.where(k < 3 * n_frames // 4, -0.006, 0.006))
+    poses = synthetic.drive_trajectory(n_frames, speed=1.2, yaw_rate=yaw)
     CACHE.mkdir(exist_ok=True)
     frames = []
     t0 = time.time()

@@ -90,3 +90,32 @@ def test_cli_loop_close_flag(tmp_path):
     # loop-optimized trajectory stays consistent with the odometry one
     mo = _load_kitti_txt(out / "MO1.txt")
     assert np.linalg.norm(poses[:, :, 3] - mo[:, :, 3], axis=1).max() < 1.0
+
+
+def test_map_publication_callback():
+    """LoamEngine invokes map_callback every map_pub_number frames with the
+    accumulated map (reference /laser_cloud_map publisher every
+    map_pub_number frames, laser_mapping.cpp:778-793)."""
+    import dataclasses
+
+    from vloam_tpu.config import tiny_test_profile
+    from vloam_tpu.data import synthetic
+    from vloam_tpu.lidar.loam_step import LoamEngine
+
+    cfg = tiny_test_profile()
+    cfg = cfg.replace(mapping=dataclasses.replace(cfg.mapping,
+                                                  map_pub_number=2))
+    calls = []
+
+    def cb(frame_idx, corner, surf):
+        calls.append((frame_idx, len(corner), len(surf)))
+
+    eng = LoamEngine(cfg, chunk=2, map_callback=cb)
+    scene = synthetic.urban_scene(3)
+    for k, T in enumerate(synthetic.drive_trajectory(6, speed=0.8)):
+        pts = synthetic.simulate_scan(scene, T, n_scans=cfg.lidar.n_scans,
+                                      n_azimuth=360, seed=k)
+        eng.push(pts)
+    eng.finish()
+    assert [c[0] for c in calls] == [2, 4, 6]
+    assert calls[-1][2] > 100  # surf map accumulated real points

@@ -52,6 +52,10 @@ def _add_run(sub):
     p.add_argument("--out", default=None, help="output directory for txt files")
     p.add_argument("--profile", default=None, help="write a jax trace here")
     p.add_argument("--verbose", type=int, default=1)
+    p.add_argument("--save-map", default=None, metavar="DIR",
+                   help="export the accumulated map every map_pub_number "
+                        "frames as npz under DIR (reference /laser_cloud_map "
+                        "publisher analogue)")
     p.add_argument("--loop-close", action="store_true",
                    help="after the sequence, detect loop closures (scan "
                         "re-matching) and re-optimize the MO trajectory "
@@ -240,7 +244,8 @@ def main(argv=None):
             result = run_sequence_fused(cfg, calib, frame_iter,
                                         out_dir=args.out, chunk=args.chunk,
                                         lidar_only=(args.mode == "lidar-only"),
-                                        verbose=args.verbose)
+                                        verbose=args.verbose,
+                                        save_map=args.save_map)
         else:
             result = run_sequence(cfg, calib, frame_iter, out_dir=args.out,
                                   progress=progress)

@@ -108,6 +108,10 @@ class LaserMappingConfig:
     corner_stack_cap: int = 2048
     surf_stack_cap: int = 6144
     knn: int = 5
+    # publish the accumulated map every N mapped frames (reference
+    # map_pub_number, loam_velodyne_HDL_64_kitti.launch + the publisher at
+    # laser_mapping.cpp:778-793); consumed by the engines' map_callback
+    map_pub_number: int = 20
     # Incremental hashed cell-slab map (gridmap.py): the map's storage IS
     # the k-NN structure; nothing is rebuilt per frame. Cells must be
     # integer multiples of the matching resolution (voxel dedup at insert)
@@ -136,12 +140,17 @@ class VisualOdometryConfig:
     matcher: str = "bf"  # image_util.h MatcherType: bf (exact) | flann (approx_max_k)
     match_select: str = "knn"  # image_util.h SelectType: knn (ratio test) | nn
     fast_threshold: float = 100.0 / 255.0  # image_util.cpp:39 (uint8 scale)
-    max_keypoints: int = 1024  # image_util.cpp:20
+    # reference caps at 1024 corners, quality 0.03 (image_util.cpp:20,:22);
+    # 2048 @ 0.01 measured 17->14 mm f2f error (scripts/diag_vo.py) and the
+    # extra matmul rows are nearly free on the MXU
+    max_keypoints: int = 2048
     shi_tomasi_block: int = 5  # image_util.cpp:15
-    shi_tomasi_quality: float = 0.03  # image_util.cpp:22
+    shi_tomasi_quality: float = 0.01
     shi_tomasi_min_distance: float = 7.5  # block*1.5 (image_util.cpp:18)
     match_ratio: float = 0.8  # KNN ratio test (image_util.cpp:278)
-    descriptor_patch: int = 16  # ZNCC patch side (TPU-native descriptor)
+    # ZNCC patch side (TPU-native descriptor); 24 px measured more
+    # discriminative than 16 (f2f err 21->17 mm, scripts/diag_vo.py)
+    descriptor_patch: int = 24
     optical_flow_match: bool = False  # vloam_main.launch:10
     flow_window: int = 15  # image_util.cpp:365 cv::Size(15,15)
     flow_levels: int = 3  # maxLevel=2 -> 3 pyramid levels
@@ -155,10 +164,30 @@ class VisualOdometryConfig:
     downsample_grid_size: int = 5  # point_cloud_util.h:26
     depth_search_radius: int = 2  # point_cloud_util.h:35 queryDepth r
     min_depth_neighbors: int = 10  # point_cloud_util.cpp:337
+    # reject depth queries whose 3 nearest buckets span more than this many
+    # meters (depth-discontinuity guard; 0 = reference behavior, which
+    # blends across object boundaries and biases the 3D-2D residuals)
+    max_depth_spread: float = 0.0
     min_depth: float = 0.1  # projection front-filter (":157")
-    huber_delta: float = 0.1  # visual_odometry.cpp:258
+    # reference uses Huber(0.1) (visual_odometry.cpp:258); 0.05 downweights
+    # the ~30% mismatch tail harder and cut f2f error 27->21 mm
+    huber_delta: float = 0.05
     max_iterations: int = 32  # ceres allows 100 (":67"); LM converges long before
     max_matches: int = 2048  # static residual cap
+    # Minimum accepted matches for a VO solve to count as valid: with near
+    # zero residuals the LM returns its seed, and in the chunked engine
+    # that seed is the PREVIOUS VO estimate — an unchecked bad solve would
+    # recycle itself into the next frame's seed and poison the LO prior
+    # (observed at frame 60 of the synthetic eval: 2 matches -> t_vo wild
+    # -> LO diverged). Below the gate the frame's VO is rejected: LO falls
+    # back to its own f2f continuity.
+    min_vo_matches: int = 20
+    # True adds quadratic-peak subpixel corner refinement and keeps
+    # subpixel coordinates in the residuals (depth bucket lookup still
+    # truncates). False preserves the reference's int-truncation quirk
+    # (visual_odometry.cpp:283-307). Integer corners cost +-0.5 px
+    # quantization on every residual: f2f error 36->27 mm measured.
+    subpixel: bool = True
 
 
 @dataclass(frozen=True)

@@ -30,7 +30,10 @@ class Scene:
 
 
 def urban_scene(seed: int = 0, extent: float = 60.0, n_boxes: int = 14,
-                n_poles: int = 24) -> Scene:
+                n_poles: int = 24, scatter: int = 0) -> Scene:
+    """Street corridor along +x. `scatter` adds that many extra buildings
+    randomly placed over the whole [-extent, extent]^2 area (off-street
+    drives — e.g. the eval's arcing trajectory — still see structure)."""
     rng = np.random.default_rng(seed)
     boxes = []
     # Two rows of "buildings" flanking a corridor along +x, like a street.
@@ -42,6 +45,14 @@ def urban_scene(seed: int = 0, extent: float = 60.0, n_boxes: int = 14,
         y0 = side * rng.uniform(8, 14)
         h = rng.uniform(4, 12)
         boxes.append([x0, x0 + w, min(y0, y0 + side * d), max(y0, y0 + side * d), -1.73, h])
+    for _ in range(scatter):
+        x0 = rng.uniform(-extent, extent)
+        y0 = rng.uniform(-extent, extent)
+        if abs(y0) < 16.0:  # keep the street corridor drivable
+            continue
+        w = rng.uniform(6, 14)
+        d = rng.uniform(6, 14)
+        boxes.append([x0, x0 + w, y0, y0 + d, -1.73, rng.uniform(4, 12)])
     poles = []
     for _ in range(n_poles):
         px = rng.uniform(-extent, extent)
@@ -212,6 +223,16 @@ def _ray_scene_hit(origins, dirs, scene):
     p = origins + dirs * tt[:, None]
     ph1 = 2.39996 * oid  # decorrelate per object
     ph2 = 1.17 * oid
+    # deterministic world-anchored cell noise (~8 cm cells): real surfaces
+    # carry aperiodic micro-detail; without it a close-up wall shows only
+    # the periodic sinusoids and the ratio test rejects every match.
+    # Faded with distance (once a pixel's footprint spans multiple cells
+    # the noise aliases into per-frame decorrelated speckle that DESTROYS
+    # patch matching — real optics low-pass this away).
+    cell = np.floor(p * 12.0).astype(np.int64)
+    hsh = np.sin(cell[:, 0] * 12.9898 + cell[:, 1] * 78.233
+                 + cell[:, 2] * 37.719 + ph1)
+    noise = ((hsh * 43758.5453) % 1.0) * np.clip(1.0 - tt / 45.0, 0.0, 1.0)
     tex = (
         0.52
         + 0.16 * np.sin(2.1 * p[:, 0] + ph1) * np.cos(1.7 * p[:, 1] - ph2)
@@ -219,6 +240,7 @@ def _ray_scene_hit(origins, dirs, scene):
         + 0.10 * np.sin(9.1 * p[:, 1] + 3.1 * p[:, 2] + ph1)
         + 0.06 * np.sin(17.0 * p[:, 0] - 13.0 * p[:, 1] + 2.0 * ph2)
         + 0.05 * np.sign(np.sin(4.9 * p[:, 0] + ph1) * np.sin(4.3 * p[:, 2] - ph2))
+        + 0.14 * (noise - 0.5)
     )
     shade = np.clip(1.0 - tt / (scene.max_range * 1.2), 0.2, 1.0)
     img = np.where(hit, np.clip(tex * shade, 0.0, 1.0), 0.08)
@@ -259,16 +281,18 @@ def default_cam_calib(width: int = 320, height: int = 96):
     return K, P_rect0, cam_T_velo, velo_T_cam
 
 
-def drive_trajectory(n_frames: int, speed: float = 1.0, yaw_rate: float = 0.01,
+def drive_trajectory(n_frames: int, speed: float = 1.0,
+                     yaw_rate: float | np.ndarray = 0.01,
                      start: np.ndarray | None = None) -> list[np.ndarray]:
-    """Ground-truth sensor poses: gentle arc along +x (per-frame motion
-    `speed` m, `yaw_rate` rad)."""
+    """Ground-truth sensor poses: arc along +x (per-frame motion `speed` m,
+    `yaw_rate` rad — scalar, or per-frame array for S-curves that stay on
+    the street like real drives)."""
     poses = []
     T = np.eye(4) if start is None else start.copy()
+    yr = np.broadcast_to(np.asarray(yaw_rate, float), (n_frames,))
     for k in range(n_frames):
         poses.append(T.copy())
-        yaw = yaw_rate
-        c, s = np.cos(yaw), np.sin(yaw)
+        c, s = np.cos(yr[k]), np.sin(yr[k])
         dT = np.eye(4)
         dT[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
         dT[0, 3] = speed

@@ -191,17 +191,35 @@ class LoamEngine:
     chunk kernel dequantizes on device."""
 
     def __init__(self, cfg: PipelineConfig, chunk: int = 8,
-                 quantize_mm: float = 0.0):
+                 quantize_mm: float = 0.0, map_callback=None):
+        """map_callback(frame_idx, corner [Mc,3], surf [Ms,3]): invoked
+        every cfg.mapping.map_pub_number frames with the accumulated map
+        (the /laser_cloud_map publisher analogue, reference
+        laser_mapping.cpp:778-793). Costs one device->host map download per
+        call — leave None for benchmark runs."""
         self.cfg = cfg
         self.chunk = chunk
         self.quantize_mm = quantize_mm
+        self.map_callback = map_callback
         self.state = LoamState.create(cfg)
         self._outs = []
+        self._frames_done = 0
+        self._next_pub = cfg.mapping.map_pub_number
         self._pending_scans: list[np.ndarray] = []
         self._pending_n: list[int] = []
         self._pending_polar: list[np.ndarray] = []
         self._elev = None
         self._polar_scale = 0.005
+
+    def _after_chunk(self, n_frames: int):
+        self._frames_done += n_frames
+        if self.map_callback is not None and self._frames_done >= self._next_pub:
+            from .mapping import export_map_points
+
+            corner, surf = export_map_points(self.state.cube)
+            self.map_callback(self._frames_done, corner, surf)
+            while self._next_pub <= self._frames_done:
+                self._next_pub += self.cfg.mapping.map_pub_number
 
     def _stage(self, points: np.ndarray) -> np.ndarray:
         cap = self.cfg.lidar.max_points
@@ -250,6 +268,7 @@ class LoamEngine:
             self.state, ranges, self._elev, pq, pt, up, self.cfg,
             self._polar_scale)
         self._outs.append(outs)
+        self._after_chunk(f)
 
     def _flush(self):
         if not self._pending_scans:
@@ -269,6 +288,7 @@ class LoamEngine:
             self.state, outs = loam_run_chunk_dyn(self.state, scans, ns, pq,
                                                   pt, up, self.cfg, scale)
         self._outs.append(outs)
+        self._after_chunk(f)
 
     def finish(self) -> np.ndarray:
         """[N, OUT_DIM] packed results (one flattened download)."""

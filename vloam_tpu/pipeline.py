@@ -117,16 +117,27 @@ class VloamPipeline:
 
 def run_sequence_fused(cfg: PipelineConfig, calib, frames,
                        out_dir: str | None = None, chunk: int = 8,
-                       lidar_only: bool = False, verbose: int = 0) -> dict:
+                       lidar_only: bool = False, verbose: int = 0,
+                       save_map: str | None = None) -> dict:
     """Drive a sequence through the fused device-resident engines (one jit
     call per chunk of frames, one download per sequence). Returns the
-    exported trajectories (+ fps)."""
+    exported trajectories (+ fps). save_map: directory receiving the
+    accumulated map every cfg.mapping.map_pub_number frames as
+    map_<frame>.npz (reference /laser_cloud_map publisher,
+    laser_mapping.cpp:778-793)."""
     t0 = time.perf_counter()
     n_frames = 0
+    map_cb = None
+    if save_map is not None:
+        Path(save_map).mkdir(parents=True, exist_ok=True)
+
+        def map_cb(frame_idx, corner, surf):
+            np.savez(Path(save_map) / f"map_{frame_idx:06d}.npz",
+                     corner=corner, surf=surf)
     if lidar_only:
         from .lidar.loam_step import LoamEngine, unpack_outputs
 
-        eng = LoamEngine(cfg, chunk=chunk)
+        eng = LoamEngine(cfg, chunk=chunk, map_callback=map_cb)
         for frame in frames:
             if "polar" in frame:  # quantized range image (smallest upload)
                 eng.push_polar(frame["polar"])
@@ -149,7 +160,7 @@ def run_sequence_fused(cfg: PipelineConfig, calib, frames,
     else:
         from .vloam_step import VloamEngine, unpack_vloam_outputs
 
-        eng = VloamEngine(cfg, calib, chunk=chunk)
+        eng = VloamEngine(cfg, calib, chunk=chunk, map_callback=map_cb)
         for frame in frames:
             eng.push(frame["points"], frame["image"])
             n_frames += 1

@@ -111,6 +111,12 @@ def query_depth(
         )
         den = 1e-4 + d3[1] * d3[2] + d3[0] * d3[2] + d3[0] * d3[1]
         z = num / den
-        return jnp.where(n_ok >= cfg.min_depth_neighbors, z, -1.0)
+        ok_q = n_ok >= cfg.min_depth_neighbors
+        if cfg.max_depth_spread > 0:
+            # reject depth-discontinuity neighborhoods: blending buckets
+            # from different surfaces biases X0 and tilts the 3D-2D solve
+            spread = jnp.max(z3) - jnp.min(z3)
+            ok_q = ok_q & (spread <= cfg.max_depth_spread)
+        return jnp.where(ok_q, z, -1.0)
 
     return jax.vmap(one)(xy)

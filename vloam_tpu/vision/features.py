@@ -322,6 +322,26 @@ def detect_keypoints(img: jnp.ndarray, cfg: VisualOdometryConfig):
     kx = (idx % w).astype(jnp.float32)
     mask = jnp.isfinite(score)
     xy = jnp.stack([kx, ky], axis=-1)
+    if getattr(cfg, "subpixel", False):
+        # quadratic peak interpolation on the response surface: integer
+        # corner grids cost +-0.5 px quantization noise on every residual
+        iy = (idx // w).astype(jnp.int32)
+        ix = (idx % w).astype(jnp.int32)
+        rs = jnp.where(jnp.isfinite(resp), resp, 0.0)
+
+        def at(dy, dx):
+            return rs[jnp.clip(iy + dy, 0, h - 1), jnp.clip(ix + dx, 0, w - 1)]
+
+        gx = 0.5 * (at(0, 1) - at(0, -1))
+        gy = 0.5 * (at(1, 0) - at(-1, 0))
+        hxx = at(0, 1) - 2.0 * at(0, 0) + at(0, -1)
+        hyy = at(1, 0) - 2.0 * at(0, 0) + at(-1, 0)
+        hxy = 0.25 * (at(1, 1) - at(1, -1) - at(-1, 1) + at(-1, -1))
+        det = hxx * hyy - hxy * hxy
+        ox = jnp.where(jnp.abs(det) > 1e-12, -(hyy * gx - hxy * gy) / det, 0.0)
+        oy = jnp.where(jnp.abs(det) > 1e-12, -(hxx * gy - hxy * gx) / det, 0.0)
+        off = jnp.clip(jnp.stack([ox, oy], axis=-1), -0.5, 0.5)
+        xy = xy + off
     return jnp.where(mask[:, None], xy, 0.0), jnp.where(mask, score, 0.0), mask
 
 

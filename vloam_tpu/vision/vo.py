@@ -46,15 +46,18 @@ def solve_vo(
 ):
     """Returns (angles, t, n32, n22): cam0_curr_T_cam0_last as angle-axis +
     translation (maps frame-0 points into frame 1)."""
-    # int truncation quirk (reference :291-303)
-    p_uv = jnp.trunc(prev_uv)
-    c_uv = jnp.trunc(curr_uv)
+    # int truncation quirk (reference :291-303); cfg.subpixel keeps the
+    # subpixel coordinates in the residuals (depth bucket lookup still
+    # truncates either way)
+    p_int = jnp.trunc(prev_uv)
+    p_uv = prev_uv if cfg.subpixel else p_int
+    c_uv = curr_uv if cfg.subpixel else jnp.trunc(curr_uv)
 
     if cfg.remove_VO_outlier > 0:
         disp = jnp.sum((p_uv - c_uv) ** 2, axis=-1)
         valid = valid & (disp <= cfg.remove_VO_outlier**2)
 
-    depth0 = query_depth(grid0, p_uv, cfg)
+    depth0 = query_depth(grid0, p_int, cfg)
 
     Kinv = jnp.linalg.inv(K)
     ones = jnp.ones((p_uv.shape[0], 1), p_uv.dtype)

@@ -162,7 +162,9 @@ def vloam_frame_step(
         prev_uv, curr_uv, valid, state.prev_grid, ext.K,
         a_seed.astype(jnp.float32), t_seed.astype(jnp.float32), cfg.vo)
     q_vo = so3.quat_from_axis_angle(angles)
-    vo_ok = initialized & jnp.all(jnp.isfinite(angles)) & jnp.all(jnp.isfinite(t_vo))
+    vo_ok = (initialized & jnp.all(jnp.isfinite(angles))
+             & jnp.all(jnp.isfinite(t_vo))
+             & (n32 + n22 >= cfg.vo.min_vo_matches))
     q_vo = jnp.where(vo_ok, q_vo, jnp.asarray([0, 0, 0, 1], jnp.float32))
     t_vo = jnp.where(vo_ok, t_vo, jnp.zeros(3, jnp.float32))
 
@@ -268,8 +270,9 @@ def _vision_frame_core(
         prev_uv, curr_uv, valid, vstate.prev_grid, ext.K,
         a_seed.astype(jnp.float32), t_seed.astype(jnp.float32), cfg.vo)
     q_vo = so3.quat_from_axis_angle(angles)
-    vo_ok = initialized & jnp.all(jnp.isfinite(angles)) & jnp.all(
-        jnp.isfinite(t_vo))
+    vo_ok = (initialized & jnp.all(jnp.isfinite(angles))
+             & jnp.all(jnp.isfinite(t_vo))
+             & (n32 + n22 >= cfg.vo.min_vo_matches))
     q_vo = jnp.where(vo_ok, q_vo, jnp.asarray([0, 0, 0, 1], jnp.float32))
     t_vo = jnp.where(vo_ok, t_vo, jnp.zeros(3, jnp.float32))
 
@@ -373,10 +376,13 @@ class VloamEngine:
     speed). No per-frame host downloads; packed outputs are fetched in
     finish()."""
 
-    def __init__(self, cfg: PipelineConfig, calib, chunk: int = 8):
+    def __init__(self, cfg: PipelineConfig, calib, chunk: int = 8,
+                 map_callback=None):
         self.cfg = cfg
         self.chunk = chunk
         self.ext = CamExtrinsics.from_calib(calib)
+        self.map_callback = map_callback
+        self._next_pub = cfg.mapping.map_pub_number
         self.vstate = VisionState.create(cfg)
         self.lstate = LoamState.create(cfg)
         self._outs = []  # device arrays [F, VLOAM_OUT_DIM]
@@ -424,6 +430,13 @@ class VloamEngine:
                                     use_prior, self.cfg)
         self._outs.append(jnp.concatenate([loam_out, vo_out], axis=1))
         self._frame += f
+        if self.map_callback is not None and self._frame >= self._next_pub:
+            from .lidar.mapping import export_map_points
+
+            corner, surf = export_map_points(self.lstate.cube)
+            self.map_callback(self._frame, corner, surf)
+            while self._next_pub <= self._frame:
+                self._next_pub += self.cfg.mapping.map_pub_number
 
     def finish(self) -> np.ndarray:
         self._flush()
