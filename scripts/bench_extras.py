@@ -104,3 +104,45 @@ def bench_pgo(n_poses=256, n_iters=10):
 if __name__ == "__main__":
     bench_pgo()
     bench_vloam()
+
+
+def bench_batch(batch=4, n_chunks=3, chunk=8):
+    """Aggregate throughput of BatchLoamEngine: B independent HDL-64
+    sequences advanced concurrently on one chip (vmap over streams inside
+    the frame scan)."""
+    import numpy as np
+    from vloam_tpu.config import kitti_hdl64
+    from vloam_tpu.data import synthetic
+    from vloam_tpu.lidar.loam_step import BatchLoamEngine
+    from vloam_tpu.runtime.profiling import fence
+
+    _cache()
+    cfg = kitti_hdl64()
+    n = chunk * (n_chunks + 1)
+    streams = []
+    for b in range(batch):
+        scene = synthetic.urban_scene(b, extent=80.0)
+        poses = synthetic.drive_trajectory(n, speed=1.1,
+                                           yaw_rate=0.01 + 0.002 * b)
+        streams.append([
+            synthetic.simulate_scan_polar(scene, T, n_scans=64,
+                                          n_azimuth=1800, seed=b * 1000 + k)
+            for k, T in enumerate(poses)
+        ])
+    eng = BatchLoamEngine(cfg, batch=batch, chunk=chunk)
+    for k in range(chunk):
+        for b in range(batch):
+            eng.push_polar(b, streams[b][k])
+    fence(eng.states)
+    import time
+
+    t0 = time.perf_counter()
+    for k in range(chunk, n):
+        for b in range(batch):
+            eng.push_polar(b, streams[b][k])
+    fence(eng.states)
+    dt = time.perf_counter() - t0
+    agg = batch * (n - chunk) / dt
+    print(json.dumps({"metric": "batch_loam_aggregate_frames_per_sec",
+                      "value": round(agg, 1), "batch": batch}))
+    return agg

@@ -28,7 +28,7 @@ def test_batch_engine_matches_single_streams():
             eng.push(s)
         singles.append(unpack_outputs(eng.finish()))
 
-    batch = BatchLoamEngine(cfg, batch=2, chunk=2)
+    batch = BatchLoamEngine(cfg, batch=2, chunk=2, quantize_mm=0.0)
     for k in range(n):
         for b in range(2):
             batch.push(b, streams[b][k])
@@ -40,3 +40,14 @@ def test_batch_engine_matches_single_streams():
                                    atol=1e-3)
         np.testing.assert_allclose(res["t_w_mo"], singles[b]["t_w_mo"],
                                    atol=1e-2)
+
+    # default int16 staging (5 mm) stays within a few cm of the exact run
+    batch_q = BatchLoamEngine(cfg, batch=2, chunk=2)
+    for k in range(n):
+        for b in range(2):
+            batch_q.push(b, streams[b][k])
+    outs_q = batch_q.finish()
+    for b in range(2):
+        res_q = unpack_outputs(outs_q[b])
+        np.testing.assert_allclose(res_q["t_w_mo"], singles[b]["t_w_mo"],
+                                   atol=5e-2)

@@ -358,14 +358,18 @@ def loam_run_chunk_dyn(state, scans, n_pts, prior_q, prior_t, use_prior, cfg,
     return jax.lax.scan(body, state, (scans, n_pts, prior_q, prior_t, use_prior))
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def loam_run_chunk_batch(states, scans, n_pts, cfg: PipelineConfig):
+@partial(jax.jit, static_argnames=("cfg", "scale"), donate_argnums=(0,))
+def loam_run_chunk_batch(states, scans, n_pts, cfg: PipelineConfig,
+                         scale: float = 1.0):
     """Advance B independent sequences x F frames: vmap over sequences
     inside a scan over frames (the multi-drive batch runner — one chip
     processes a whole KITTI suite concurrently).
 
-    states: LoamState with leading batch dim B; scans [B, F, N, 3];
-    n_pts [B, F]. Returns (states, outs [B, F, OUT_DIM])."""
+    states: LoamState with leading batch dim B; scans [B, F, N, 3] float32
+    OR int16 (x scale, dequantized on device — upload bytes dominate the
+    batch path); n_pts [B, F]. Returns (states, outs [B, F, OUT_DIM])."""
+    if scans.dtype != jnp.float32:
+        scans = scans.astype(jnp.float32) * scale
     B = scans.shape[0]
     pq = jnp.zeros((B, 4), jnp.float32).at[:, 3].set(1.0)
     pt = jnp.zeros((B, 3), jnp.float32)
@@ -384,6 +388,28 @@ def loam_run_chunk_batch(states, scans, n_pts, cfg: PipelineConfig):
     return states, outs.swapaxes(0, 1)
 
 
+@partial(jax.jit, static_argnames=("cfg", "scale"), donate_argnums=(0,))
+def loam_run_chunk_batch_polar(states, ranges, elev_rad,
+                               cfg: PipelineConfig, scale: float = 0.005):
+    """Polar-ingest batch chunk: ranges [B, F, S, A] uint16 quantized range
+    images (2 bytes/ray — the smallest possible upload; the batch path is
+    upload-bound on the tunnel backend). vmap over B sequences inside a
+    scan over F frames."""
+    def frame_body(sts, r_b):  # r_b: [B, S, A]
+        def one(st, r_img):
+            feats = register_scan_polar(r_img, elev_rad, cfg.lidar,
+                                        cfg.scanreg, scale)
+            pq = jnp.asarray([0, 0, 0, 1], jnp.float32)
+            pt = jnp.zeros(3, jnp.float32)
+            return loam_frame_step_feats(st, feats, pq, pt, jnp.bool_(False),
+                                         cfg)
+
+        return jax.vmap(one)(sts, r_b)
+
+    states, outs = jax.lax.scan(frame_body, states, ranges.swapaxes(0, 1))
+    return states, outs.swapaxes(0, 1)
+
+
 def batch_states(cfg: PipelineConfig, batch: int) -> LoamState:
     """B stacked fresh LoamStates."""
     one = LoamState.create(cfg)
@@ -397,21 +423,63 @@ class BatchLoamEngine:
     pushed per-stream; all streams must have equal length (pad short ones
     with repeated last frames and ignore the tail outputs)."""
 
-    def __init__(self, cfg: PipelineConfig, batch: int, chunk: int = 4):
+    def __init__(self, cfg: PipelineConfig, batch: int, chunk: int = 4,
+                 quantize_mm: float = 5.0):
+        """quantize_mm > 0 stages scans as int16 in that many mm per unit
+        (default 5 mm, +-163 m range): the B-way batch multiplies upload
+        bytes, which dominate wall clock on the tunnel backend."""
         self.cfg = cfg
         self.batch = batch
         self.chunk = chunk
+        self.quantize_mm = quantize_mm
         self.states = batch_states(cfg, batch)
         self._outs = []
         self._scans = [[] for _ in range(batch)]
         self._ns = [[] for _ in range(batch)]
+        self._polar = [[] for _ in range(batch)]
+        self._elev = None
+        self._polar_scale = 0.005
+
+    def push_polar(self, stream: int, range_img: np.ndarray,
+                   range_scale: float = 0.005,
+                   elevations_deg: np.ndarray | None = None):
+        """Quantized range-image ingest [n_scans, n_azimuth] uint16 —
+        smallest upload (2 bytes/ray; the batch path is upload-bound)."""
+        if self._elev is None:
+            from ..data.synthetic import hdl64_elevations
+
+            ed = (elevations_deg if elevations_deg is not None
+                  else hdl64_elevations(self.cfg.lidar.n_scans))
+            self._elev = jnp.asarray(np.radians(ed), jnp.float32)
+        self._polar_scale = range_scale
+        self._polar[stream].append(range_img)
+        if all(len(s) >= self.chunk for s in self._polar):
+            self._flush_polar()
+
+    def _flush_polar(self):
+        f = min(len(s) for s in self._polar)
+        if f == 0:
+            return
+        ranges = jnp.asarray(np.stack(
+            [np.stack(s[:f]) for s in self._polar]))
+        self._polar = [s[f:] for s in self._polar]
+        self.states, outs = loam_run_chunk_batch_polar(
+            self.states, ranges, self._elev, self.cfg, self._polar_scale)
+        self._outs.append(outs)
 
     def push(self, stream: int, points: np.ndarray):
         from ..data.synthetic import pad_scan
 
-        padded, n = pad_scan(points, self.cfg.lidar.max_points)
+        cap = self.cfg.lidar.max_points
+        if self.quantize_mm > 0:
+            padded = np.zeros((cap, 3), np.int16)
+            n = min(len(points), cap)
+            padded[:n] = np.clip(points[:n] * (1000.0 / self.quantize_mm),
+                                 -32767, 32767).astype(np.int16)
+        else:
+            padded, n = pad_scan(points, cap)
         self._scans[stream].append(padded)
-        self._ns[stream].append(n)
+        self._ns[stream].append(min(len(points), cap))
         if all(len(s) >= self.chunk for s in self._scans):
             self._flush()
 
@@ -425,13 +493,15 @@ class BatchLoamEngine:
             [np.asarray(n[:f], np.int32) for n in self._ns]))
         self._scans = [s[f:] for s in self._scans]
         self._ns = [n[f:] for n in self._ns]
+        scale = self.quantize_mm / 1000.0 if self.quantize_mm > 0 else 1.0
         self.states, outs = loam_run_chunk_batch(self.states, scans, ns,
-                                                 self.cfg)
+                                                 self.cfg, scale)
         self._outs.append(outs)
 
     def finish(self) -> np.ndarray:
         """[B, N, OUT_DIM]."""
         self._flush()
+        self._flush_polar()
         if not self._outs:
             return np.zeros((self.batch, 0, OUT_DIM), np.float32)
         stacked = jnp.concatenate(self._outs, axis=1)
