@@ -121,7 +121,8 @@ def main():
     t0v = jnp.zeros(3, jnp.float32)
     chained("solve_lo", lambda a, b, c, d: solve_lo(
         a, b, c, d, q0, t0v, cfg.lo)[0],
-        feats1.sharp, feats1.flat, feats0.less_sharp, feats0.less_flat)
+        feats1.sharp, feats1.flat, feats0.less_sharp_slab,
+        feats0.less_flat_slab)
 
     vdc = jax.jit(lambda x, m: voxel_downsample(
         x, m, cfg.mapping.line_resolution, cfg.mapping.corner_stack_cap))
@@ -147,7 +148,29 @@ def main():
                                 jnp.asarray(False), cfg)
         return s2
 
-    chained_carry("loam_frame_step (full frame)", full_step, st, iters=6)
+    chained_carry("loam_frame_step (full frame)", full_step, st, iters=16)
+
+    from vloam_tpu.lidar.scan_registration import register_scan_polar
+    from vloam_tpu.data.synthetic import hdl64_elevations, simulate_scan_polar
+
+    elev = jnp.asarray(np.radians(hdl64_elevations(cfg.lidar.n_scans)),
+                       jnp.float32)
+    rimg = jnp.asarray(simulate_scan_polar(scene, poses[2],
+                                           n_scans=cfg.lidar.n_scans,
+                                           n_azimuth=1800, seed=2))
+    chained("register_scan_polar", lambda r: register_scan_polar(
+        r, elev, cfg.lidar, cfg.scanreg), rimg.astype(jnp.float32))
+
+    from vloam_tpu.lidar.loam_step import loam_frame_step_feats
+
+    def full_step_polar(s):
+        feats = register_scan_polar(rimg, elev, cfg.lidar, cfg.scanreg)
+        s2, _ = loam_frame_step_feats(s, feats, q0, t0v, jnp.asarray(False),
+                                      cfg)
+        return s2
+
+    chained_carry("polar full frame (scanreg+LO+MO)", full_step_polar,
+                  LoamState.create(cfg), iters=16)
 
 
 if __name__ == "__main__":

@@ -227,5 +227,50 @@ def main():
     chained("register_scan_polar", reg_polar, elev)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--extra" not in sys.argv:
     main()
+
+
+def knn_among_packed(cand, queries, k=5, clip_d=64.0):
+    """k smallest via k iterated packed single-pass mins."""
+    diff = cand - queries.T[:, :, None]
+    d = jnp.sum(diff * diff, axis=0)  # [Q, C]
+    C = d.shape[1]
+    bits = max(1, (C - 1).bit_length())
+    scale = float(1 << (30 - bits)) / clip_d
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    packed = ((jnp.minimum(d, clip_d * 0.999999) * scale).astype(jnp.int32)
+              << bits) | col
+    ds, idxs = [], []
+    for _ in range(k):
+        m = jnp.min(packed, axis=1)  # [Q]
+        idx = m & ((1 << bits) - 1)
+        ds.append((m >> bits).astype(jnp.float32) / scale)
+        idxs.append(idx)
+        packed = jnp.where(col == idx[:, None], jnp.int32(2**30), packed)
+    ni = jnp.stack(idxs, axis=1)
+    near = jnp.take_along_axis(cand, ni[None, :, :], axis=2)
+    return jnp.stack(ds, axis=1), jnp.moveaxis(near, 0, 2)
+
+
+def extra():
+    cfg = kitti_hdl64().mapping
+    rng = np.random.default_rng(0)
+    from vloam_tpu.lidar.gridmap import grid_create, grid_insert, grid_gather
+    g = grid_create(cfg.map_n_buckets, cfg.surf_bucket_cap)
+    pts = jnp.asarray(rng.uniform(-60, 60, (50000, 3)).astype(np.float32))
+    g = grid_insert(g, pts, jnp.ones(len(pts), bool), cfg.surf_cell,
+                    cfg.plane_resolution)
+    q = jnp.asarray(rng.uniform(-50, 50, (6144, 3)).astype(np.float32))
+    cand = jax.jit(lambda qq: grid_gather(g, qq, cfg.surf_cell))(q)
+    from vloam_tpu.lidar.gridmap import knn_among
+    chained("knn_among top_k (6144 x 128)", lambda qq: knn_among(
+        grid_gather(g, qq, cfg.surf_cell), qq, 5)[0], q)
+    chained("knn_among packed (6144 x 128)", lambda qq: knn_among_packed(
+        grid_gather(g, qq, cfg.surf_cell), qq, 5)[0], q)
+    chained("gather only (6144)", lambda qq: grid_gather(
+        g, qq, cfg.surf_cell)[0], q)
+
+
+if __name__ == "__main__" and "--extra" in sys.argv:
+    extra()

@@ -80,7 +80,9 @@ def test_slab_from_flat_roundtrip():
 
 def test_ring_slab_assoc_semantics():
     """d0/p0 = global nearest; d2/p2 = nearest on different nearby ring;
-    d3/p3 = second nearest on the nearest's ring (surf mode)."""
+    d3/p3 = second nearest on the nearest's ring (surf mode). The default
+    packed impl saturates distances at 64 m^2 (above every consumer gate;
+    the LO gate is 25 m^2), so expected values clip the same way."""
     rng = np.random.default_rng(3)
     S, C = 8, 32
     slab_np = _rand_slab(rng, S=S, C=C)
@@ -89,21 +91,33 @@ def test_ring_slab_assoc_semantics():
                           nearby_scan=2.5, mode="surf")
     d = np.sum((q[None, :, None, :] - slab_np[:, None, :, :]) ** 2, axis=-1)
     m1 = d.min(axis=2)  # [S, Q]
+    clip = lambda v: min(v, 64.0)
     for i in range(len(q)):
         r0 = int(np.argmin(m1[:, i]))
-        assert np.isclose(float(out["d0"][i]), m1[r0, i], rtol=1e-5,
-                          atol=1e-4)
-        c0 = int(np.argmin(d[r0, i]))
-        np.testing.assert_allclose(np.asarray(out["p0"][i]), slab_np[r0, c0],
-                                   rtol=1e-5)
+        assert np.isclose(float(out["d0"][i]), clip(m1[r0, i]), rtol=1e-4,
+                          atol=1e-3)
+        if m1[r0, i] < 63.9:  # below saturation: argmin well-defined
+            c0 = int(np.argmin(d[r0, i]))
+            np.testing.assert_allclose(np.asarray(out["p0"][i]),
+                                       slab_np[r0, c0], rtol=1e-5)
         rings = np.arange(S)
         near = (np.abs(rings - r0) <= 2.5) & (rings != r0)
         want_d2 = np.where(near, m1[:, i], np.inf).min()
-        assert np.isclose(float(out["d2"][i]), want_d2, rtol=1e-5, atol=1e-4)
+        assert np.isclose(float(out["d2"][i]), clip(want_d2), rtol=1e-4,
+                          atol=1e-3)
         row = d[r0, i].copy()
-        row[c0] = np.inf
-        assert np.isclose(float(out["d3"][i]), row.min(), rtol=1e-5,
-                          atol=1e-4)
+        if m1[r0, i] < 63.9:
+            row[int(np.argmin(d[r0, i]))] = np.inf
+        assert np.isclose(float(out["d3"][i]), clip(row.min()), rtol=1e-4,
+                          atol=1e-3)
+
+    # exact (unclipped) form still available and agrees below the clip
+    out_x = ring_slab_assoc(jnp.asarray(q), RingSlab(jnp.asarray(slab_np)),
+                            nearby_scan=2.5, mode="surf", impl="xla")
+    g = np.asarray(out["d0"]) < 63.9
+    np.testing.assert_allclose(np.asarray(out["d0"])[g],
+                               np.asarray(out_x["d0"])[g], rtol=1e-4,
+                               atol=1e-3)
 
 
 def test_assoc_matches_shortlist_on_dense_cloud():

@@ -188,6 +188,59 @@ def ring_min2_xla(queries: jnp.ndarray, slab_t: jnp.ndarray):
     return dmin, amin, d2, a2
 
 
+def ring_min1_packed(queries: jnp.ndarray, slab_t: jnp.ndarray,
+                     clip_d: float = 64.0):
+    """Per-ring (min, argmin) with distance and column packed into ONE
+    int32 so a single reduction pass replaces the min + masked-argmin
+    pair: d quantized to (30 - ceil(log2 C)) bits (resolution
+    clip_d / 2^21 ~ 3e-5 m^2 at C=512 — far below LOAM's 0.05-0.2 m
+    feature spacing), column in the low bits (ties pick the lowest column,
+    same as the iota-argmin form). Distances are clipped at clip_d, which
+    must exceed every gate that consumes them (the LO gate is 25 m^2)."""
+    C = slab_t.shape[2]
+    bits = max(1, (C - 1).bit_length())
+    scale = float(1 << (30 - bits)) / clip_d
+    inv_scale = 1.0 / scale
+
+    def one_ring(c):  # c: [3, C]
+        diff = queries[:, :, None] - c[None, :, :]  # [Q, 3, C]
+        d = jnp.sum(diff * diff, axis=1)  # [Q, C]
+        dq = (jnp.minimum(d, clip_d * 0.999999) * scale).astype(jnp.int32)
+        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        m = jnp.min((dq << bits) | col, axis=1)
+        return ((m >> bits).astype(jnp.float32) * inv_scale,
+                m & ((1 << bits) - 1))
+
+    return jax.vmap(one_ring)(slab_t)
+
+
+def ring_min1_mxu(queries: jnp.ndarray, slab_t: jnp.ndarray,
+                  clip_d: float = 64.0):
+    """Packed single-pass min with the distance computed as
+    |q|^2+|c|^2-2qc on the MXU (Precision.HIGH 3-pass bf16: ~2^-22
+    relative, ~1.5e-3 m^2 absolute at 80 m coordinate scales) instead of
+    the 4-pass VPU difference form. Candidate ordering can flip between
+    near-equidistant candidates (|Delta d| ~ mm at metre ranges) — both
+    are geometrically valid correspondences for the LM."""
+    C = slab_t.shape[2]
+    bits = max(1, (C - 1).bit_length())
+    scale = float(1 << (30 - bits)) / clip_d
+    qq = jnp.sum(queries * queries, axis=1)  # [Q]
+
+    def one_ring(c):  # c: [3, C]
+        cc = jnp.sum(c * c, axis=0)  # [C]
+        qc = jnp.dot(queries, c, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGH)  # [Q, C]
+        d = jnp.maximum(qq[:, None] + cc[None, :] - 2.0 * qc, 0.0)
+        dq = (jnp.minimum(d, clip_d * 0.999999) * scale).astype(jnp.int32)
+        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        m = jnp.min((dq << bits) | col, axis=1)
+        return ((m >> bits).astype(jnp.float32) / scale,
+                m & ((1 << bits) - 1))
+
+    return jax.vmap(one_ring)(slab_t)
+
+
 def ring_min1_xla(queries: jnp.ndarray, slab_t: jnp.ndarray):
     """Per-ring (min, argmin) only — the association's hot reduction. The
     second-minimum is only ever needed on ONE ring per query (the nearest's
@@ -213,7 +266,7 @@ def ring_slab_assoc(
     slab: RingSlab,
     nearby_scan: float,
     mode: str = "corner",
-    impl: str = "xla",
+    impl: str = "mxu",
 ):
     """LO correspondence search over per-ring slabs; EXACT counterpart of
     knn.shortlist_ring_assoc (same output dict, but indices are (ring, slot)
@@ -228,8 +281,12 @@ def ring_slab_assoc(
     slab_t = jnp.swapaxes(slab.xyz, 1, 2)  # [S, 3, C]
     if impl == "pallas":
         dmin, amin, _, _ = ring_min2_pallas(queries, slab_t)
-    else:
+    elif impl == "xla":
         dmin, amin = ring_min1_xla(queries, slab_t)
+    elif impl == "mxu":
+        dmin, amin = ring_min1_mxu(queries, slab_t)
+    else:  # "packed" (default): single-pass packed reduction
+        dmin, amin = ring_min1_packed(queries, slab_t)
 
     rings = jnp.arange(S)
     ring0 = jnp.argmin(dmin, axis=0)  # [Q]
@@ -249,14 +306,18 @@ def ring_slab_assoc(
     out = {"d0": d0, "p0": p0, "d2": d2, "p2": p2}
     if mode == "surf":
         # second-nearest on ring0: recompute distances on the gathered
-        # ring0 slab only ([Q, C] — 1/n_rings of the full reduction)
+        # ring0 slab only ([Q, C] — 1/n_rings of the full reduction),
+        # packed single-pass min with the nearest slot excluded
         row = slab.xyz[ring0]  # [Q, C, 3]
         dq = jnp.sum((queries[:, None, :] - row) ** 2, axis=-1)  # [Q, C]
         col = jax.lax.broadcasted_iota(jnp.int32, dq.shape, 1)
-        dq = jnp.where(col == slot0[:, None], _BIG, dq)
-        m3 = jnp.min(dq, axis=1)
-        slot3 = jnp.min(jnp.where(dq <= m3[:, None], col, jnp.int32(2**30)),
-                        axis=1)
-        out["d3"] = m3
-        out["p3"] = row[q_idx, slot3]
+        C = row.shape[1]
+        bits = max(1, (C - 1).bit_length())
+        clip_d = 64.0
+        scale = float(1 << (30 - bits)) / clip_d
+        dqi = (jnp.minimum(dq, clip_d * 0.999999) * scale).astype(jnp.int32)
+        dqi = jnp.where(col == slot0[:, None], jnp.int32(1 << 30), dqi << bits)
+        m = jnp.min(dqi | col, axis=1)
+        out["d3"] = (m >> bits).astype(jnp.float32) / scale
+        out["p3"] = row[q_idx, m & ((1 << bits) - 1)]
     return out
