@@ -71,18 +71,18 @@ def _bench_combined(cfg, scene, t_budget_s):
                                        yaw_rate=0.01)
     scans, imgs = [], []
     for k, T in enumerate(poses):
-        scans.append(synthetic.simulate_scan(
+        scans.append(synthetic.simulate_scan_polar(
             scene, T, n_scans=cfg_c.lidar.n_scans, n_azimuth=1800, seed=k))
         imgs.append((synthetic.render_camera(
             scene, T @ velo_T_cam, K, cfg_c.vo.img_width,
             cfg_c.vo.img_height) * 255).astype(np.uint8))
     eng = VloamEngine(cfg_c, calib, chunk=chunk)
     for k in range(n_warm):
-        eng.push(scans[k], imgs[k])
+        eng.push_polar(scans[k], imgs[k])
     fence(eng.state)
     t0 = time.perf_counter()
     for k in range(n_warm, n_warm + n_meas):
-        eng.push(scans[k], imgs[k])
+        eng.push_polar(scans[k], imgs[k])
     fence(eng.state)
     return n_meas / (time.perf_counter() - t0)
 

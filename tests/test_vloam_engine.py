@@ -33,3 +33,42 @@ def test_vloam_engine_matches_host_pipeline(tmp_path):
     for which, tol in (("LO", 0.35), ("MO", 0.35)):
         m = kitti_metrics(gt, res[f"traj_{which}"], step=1)
         assert m["ate_rmse_m"] < tol, (which, m)
+
+
+def test_vloam_engine_polar_ingest():
+    """push_polar (range-image upload, on-device decode for both depth
+    grid and LOAM) tracks ground truth like the xyz path."""
+    from vloam_tpu.data import synthetic
+
+    n = 4
+    cfg = small_cfg(detach_VO_LO=False)
+    scene = synthetic.urban_scene(2)
+    K, P_rect0, cam_T_velo, velo_T_cam = synthetic.default_cam_calib(
+        cfg.vo.img_width, cfg.vo.img_height)
+
+    class C:
+        pass
+
+    calib = C()
+    calib.K = K
+    calib.P_rect0 = P_rect0
+    calib.P_velo_to_img = P_rect0 @ np.linalg.inv(velo_T_cam)
+    calib.imu_T_velo = np.eye(4)
+    calib.imu_T_cam0 = velo_T_cam
+    poses = synthetic.drive_trajectory(n, speed=1.0, yaw_rate=0.015)
+    T0 = poses[0] @ velo_T_cam
+    gt = np.stack([(np.linalg.inv(T0) @ (T @ velo_T_cam))[:3, :]
+                   for T in poses])
+
+    eng = VloamEngine(cfg, calib, chunk=2)
+    for k, T in enumerate(poses):
+        polar = synthetic.simulate_scan_polar(scene, T, n_scans=64,
+                                              n_azimuth=900, seed=k)
+        img = synthetic.render_camera(scene, T @ velo_T_cam, K,
+                                      cfg.vo.img_width, cfg.vo.img_height)
+        eng.push_polar(polar, img)
+    res = unpack_vloam_outputs(eng.finish(), calib)
+    for which, tol in (("LO", 0.35), ("MO", 0.35)):
+        m = kitti_metrics(gt, res[f"traj_{which}"], step=1)
+        assert m["ate_rmse_m"] < tol, (which, m)
+    assert res["n32"][1:].min() > 0  # VO got depth-backed matches

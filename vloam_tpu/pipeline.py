@@ -162,7 +162,10 @@ def run_sequence_fused(cfg: PipelineConfig, calib, frames,
 
         eng = VloamEngine(cfg, calib, chunk=chunk, map_callback=map_cb)
         for frame in frames:
-            eng.push(frame["points"], frame["image"])
+            if "polar" in frame:  # quantized range image (smallest upload)
+                eng.push_polar(frame["polar"], frame["image"])
+            else:
+                eng.push(frame["points"], frame["image"])
             n_frames += 1
         raw = unpack_vloam_outputs(eng.finish(), calib)
         result = {w: raw[f"traj_{w}"] for w in ("VO", "LO", "MO")}

@@ -354,6 +354,44 @@ def vision_run_chunk(
     return (vstate,) + outs
 
 
+@partial(jax.jit, static_argnames=("cfg", "scale"), donate_argnums=(0,))
+def vision_run_chunk_polar(
+    vstate: VisionState,
+    ranges: jnp.ndarray,  # [F, S, A] uint16 quantized range images
+    elev_rad: jnp.ndarray,  # [S]
+    images_u8: jnp.ndarray,  # [F, H, W] uint8
+    q_lo_f2f: jnp.ndarray,
+    t_lo_f2f: jnp.ndarray,
+    first_initialized: jnp.ndarray,
+    ext: CamExtrinsics,
+    cfg: PipelineConfig,
+    scale: float = 0.005,
+):
+    """Polar-ingest vision chunk: the scan arrives as a quantized range
+    image (2 bytes/ray — the xyz upload dominated combined-mode wall
+    clock) and is decoded on device for the depth grid; invalid rays
+    decode to the origin and fail the projection front-filter."""
+    from .lidar.loam_step import polar_to_xyz
+
+    a0, t0 = _seed_from_lo_f2f(q_lo_f2f, t_lo_f2f, ext)
+    n_rays = jnp.int32(ranges.shape[1] * ranges.shape[2])
+
+    def body(carry, inp):
+        vst, a_seed, t_seed, initialized = carry
+        r_img, img = inp
+        scan = polar_to_xyz(r_img, elev_rad, scale)
+        vst, q_pr, t_pr, vo_ok, vo_out, q_vo, t_vo = _vision_frame_core(
+            vst, scan, n_rays, img, a_seed, t_seed, initialized, ext, cfg)
+        a_next = jnp.where(vo_ok, so3.axis_angle_from_quat(q_vo), a_seed)
+        t_next = jnp.where(vo_ok, t_vo, t_seed)
+        return ((vst, a_next, t_next, jnp.bool_(True)),
+                (q_pr, t_pr, vo_ok, vo_out))
+
+    (vstate, _, _, _), outs = jax.lax.scan(
+        body, (vstate, a0, t0, first_initialized), (ranges, images_u8))
+    return (vstate,) + outs
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def loam_frame_jit(state: LoamState, scan, n_pts, prior_q, prior_t,
                    use_prior, cfg: PipelineConfig):
@@ -389,6 +427,9 @@ class VloamEngine:
         self._scans: list[np.ndarray] = []
         self._ns: list[int] = []
         self._imgs: list[np.ndarray] = []
+        self._polar: list[np.ndarray] = []
+        self._elev = None
+        self._polar_scale = 0.005
         self._frame = 0
 
     @property
@@ -407,6 +448,52 @@ class VloamEngine:
         self._imgs.append(image)
         if len(self._scans) >= self.chunk:
             self._flush()
+
+    def push_polar(self, range_img: np.ndarray, image: np.ndarray,
+                   range_scale: float = 0.005,
+                   elevations_deg: np.ndarray | None = None):
+        """Quantized range-image ingest (2 bytes/ray): the xyz float32
+        upload dominated combined-mode wall clock on the tunnel backend.
+        The range image is uploaded ONCE per chunk and decoded on device by
+        both the vision chunk (depth grid) and the LOAM chunk."""
+        assert not self._scans, "do not mix push() and push_polar()"
+        if self._elev is None:
+            from .data.synthetic import hdl64_elevations
+
+            ed = (elevations_deg if elevations_deg is not None
+                  else hdl64_elevations(self.cfg.lidar.n_scans))
+            self._elev = jnp.asarray(np.radians(ed), jnp.float32)
+        self._polar_scale = range_scale
+        if image.dtype != np.uint8:
+            image = np.clip(image * 255.0, 0, 255).astype(np.uint8)
+        self._polar.append(range_img)
+        self._imgs.append(image)
+        if len(self._polar) >= self.chunk:
+            self._flush_polar()
+
+    def _flush_polar(self):
+        from .lidar.loam_step import loam_run_chunk_polar
+
+        f = len(self._polar)
+        if f == 0:
+            return
+        ranges = jnp.asarray(np.stack(self._polar))
+        imgs = jnp.asarray(np.stack(self._imgs))
+        self._polar, self._imgs = [], []
+
+        first_init = jnp.bool_(self._frame > 0)
+        self.vstate, q_pr, t_pr, vo_ok, vo_out = vision_run_chunk_polar(
+            self.vstate, ranges, self._elev, imgs, self.lstate.q_f2f,
+            self.lstate.t_f2f, first_init, self.ext, self.cfg,
+            self._polar_scale)
+        use_prior = jnp.logical_and(
+            jnp.logical_not(self.cfg.detach_VO_LO), vo_ok)
+        self.lstate, loam_out = loam_run_chunk_polar(
+            self.lstate, ranges, self._elev, q_pr, t_pr, use_prior,
+            self.cfg, self._polar_scale)
+        self._outs.append(jnp.concatenate([loam_out, vo_out], axis=1))
+        self._frame += f
+        self._maybe_publish_map()
 
     def _flush(self):
         from .lidar.loam_step import loam_run_chunk, loam_run_chunk_dyn
@@ -430,6 +517,9 @@ class VloamEngine:
                                     use_prior, self.cfg)
         self._outs.append(jnp.concatenate([loam_out, vo_out], axis=1))
         self._frame += f
+        self._maybe_publish_map()
+
+    def _maybe_publish_map(self):
         if self.map_callback is not None and self._frame >= self._next_pub:
             from .lidar.mapping import export_map_points
 
@@ -440,6 +530,7 @@ class VloamEngine:
 
     def finish(self) -> np.ndarray:
         self._flush()
+        self._flush_polar()
         if not self._outs:
             return np.zeros((0, VLOAM_OUT_DIM), np.float32)
         stacked = jnp.concatenate(self._outs, axis=0).reshape(-1)
