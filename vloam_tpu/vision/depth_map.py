@@ -75,48 +75,55 @@ def query_depth(
     grid: DepthGrid, xy: jnp.ndarray, cfg: VisualOdometryConfig
 ) -> jnp.ndarray:
     """Vectorized queryDepth over [Q, 2] pixel coords. Returns [Q] depth,
-    -1 where the neighborhood is too sparse (reference :336-338)."""
+    -1 where the neighborhood is too sparse (reference :336-338).
+
+    The (2r+1)^2 bucket window is fetched with ONE batched flat gather of
+    [Q, win^2] precomputed indices per plane — the previous vmapped
+    dynamic_slice formulation serialized thousands of tiny slices and
+    measured 10.3 ms for 2048 queries on the chip; this form is ~50x
+    faster (scripts/profile_vision_stages.py)."""
     g = cfg.downsample_grid_size
     r = cfg.depth_search_radius
     win = 2 * r + 1
     gw, gh = grid.u.shape
+    ph = gh + 2 * r
 
     pad = ((r, r), (r, r))
-    pu = jnp.pad(grid.u, pad)
-    pv = jnp.pad(grid.v, pad)
-    pz = jnp.pad(grid.z, pad)
-    pc = jnp.pad(grid.cnt, pad)
+    pu = jnp.pad(grid.u, pad).reshape(-1)
+    pv = jnp.pad(grid.v, pad).reshape(-1)
+    pz = jnp.pad(grid.z, pad).reshape(-1)
+    pc = jnp.pad(grid.cnt, pad).reshape(-1)
 
-    def one(pt):
-        x, y = pt[0], pt[1]
-        ix = jnp.clip(jnp.floor(x / g).astype(jnp.int32), 0, gw - 1)
-        iy = jnp.clip(jnp.floor(y / g).astype(jnp.int32), 0, gh - 1)
-        wu = jax.lax.dynamic_slice(pu, (ix, iy), (win, win)).reshape(-1)
-        wv = jax.lax.dynamic_slice(pv, (ix, iy), (win, win)).reshape(-1)
-        wz = jax.lax.dynamic_slice(pz, (ix, iy), (win, win)).reshape(-1)
-        wc = jax.lax.dynamic_slice(pc, (ix, iy), (win, win)).reshape(-1)
-        # in-bounds test replicates the reference's index check: padding cells
-        # have cnt == 0 so they are excluded automatically.
-        ok = wc > 0
-        n_ok = jnp.sum(ok.astype(jnp.int32))
-        dist = jnp.sqrt((x - wu) ** 2 + (y - wv) ** 2)
-        dist = jnp.where(ok, dist, jnp.inf)
-        nd, ni = jax.lax.top_k(-dist, 3)
-        d3 = -nd
-        z3 = wz[ni]
-        num = (
-            z3[0] * d3[1] * d3[2]
-            + z3[1] * d3[0] * d3[2]
-            + z3[2] * d3[0] * d3[1]
-        )
-        den = 1e-4 + d3[1] * d3[2] + d3[0] * d3[2] + d3[0] * d3[1]
-        z = num / den
-        ok_q = n_ok >= cfg.min_depth_neighbors
-        if cfg.max_depth_spread > 0:
-            # reject depth-discontinuity neighborhoods: blending buckets
-            # from different surfaces biases X0 and tilts the 3D-2D solve
-            spread = jnp.max(z3) - jnp.min(z3)
-            ok_q = ok_q & (spread <= cfg.max_depth_spread)
-        return jnp.where(ok_q, z, -1.0)
+    x, y = xy[:, 0], xy[:, 1]
+    ix = jnp.clip(jnp.floor(x / g).astype(jnp.int32), 0, gw - 1)
+    iy = jnp.clip(jnp.floor(y / g).astype(jnp.int32), 0, gh - 1)
+    dx, dy = jnp.meshgrid(jnp.arange(win), jnp.arange(win), indexing="ij")
+    off = (dx.reshape(-1) * ph + dy.reshape(-1)).astype(jnp.int32)
+    flat = (ix * ph + iy)[:, None] + off[None, :]  # [Q, win^2]
 
-    return jax.vmap(one)(xy)
+    wu = pu[flat]
+    wv = pv[flat]
+    wz = pz[flat]
+    # padding cells have cnt == 0, replicating the reference's bounds check
+    ok = pc[flat] > 0
+    n_ok = jnp.sum(ok.astype(jnp.int32), axis=1)
+    dist = jnp.sqrt((x[:, None] - wu) ** 2 + (y[:, None] - wv) ** 2)
+    dist = jnp.where(ok, dist, jnp.inf)
+    nd, ni = jax.lax.top_k(-dist, 3)
+    d3 = -nd  # [Q, 3]
+    z3 = jnp.take_along_axis(wz, ni, axis=1)
+    num = (
+        z3[:, 0] * d3[:, 1] * d3[:, 2]
+        + z3[:, 1] * d3[:, 0] * d3[:, 2]
+        + z3[:, 2] * d3[:, 0] * d3[:, 1]
+    )
+    den = (1e-4 + d3[:, 1] * d3[:, 2] + d3[:, 0] * d3[:, 2]
+           + d3[:, 0] * d3[:, 1])
+    z = num / den
+    ok_q = n_ok >= cfg.min_depth_neighbors
+    if cfg.max_depth_spread > 0:
+        # reject depth-discontinuity neighborhoods: blending buckets
+        # from different surfaces biases X0 and tilts the 3D-2D solve
+        spread = jnp.max(z3, axis=1) - jnp.min(z3, axis=1)
+        ok_q = ok_q & (spread <= cfg.max_depth_spread)
+    return jnp.where(ok_q, z, -1.0)

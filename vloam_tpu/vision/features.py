@@ -355,6 +355,9 @@ def describe_keypoints(img: jnp.ndarray, xy: jnp.ndarray, cfg: VisualOdometryCon
     p = cfg.descriptor_patch
     offs = jnp.arange(p) - p // 2
 
+    # NOTE: the vmapped dynamic_slice measured FASTER on the chip (2.2 ms
+    # for 2048x24x24) than a single batched [K, p*p] flat gather (8.8 ms —
+    # XLA lowers big scalar gathers worse than a slice loop here).
     def one(pt):
         x0 = pt[0].astype(jnp.int32)
         y0 = pt[1].astype(jnp.int32)
