@@ -44,6 +44,36 @@ def _conv2_same(img: jnp.ndarray, kern: jnp.ndarray) -> jnp.ndarray:
     return jax.scipy.signal.convolve2d(img, kern, mode="same")
 
 
+def _shift(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """img shifted so out[y, x] = img[y+dy, x+dx], zero-padded (matching
+    convolve2d's zero boundary)."""
+    h, w = img.shape
+    out = img
+    if dy:
+        z = jnp.zeros((abs(dy), w), img.dtype)
+        out = (jnp.concatenate([out[dy:], z]) if dy > 0
+               else jnp.concatenate([z, out[:dy]]))
+    if dx:
+        z = jnp.zeros((h, abs(dx)), img.dtype)
+        out = (jnp.concatenate([out[:, dx:], z], axis=1) if dx > 0
+               else jnp.concatenate([z, out[:, :dx]], axis=1))
+    return out
+
+
+def _sobel_xy(img: jnp.ndarray):
+    """Both Sobel gradients via separable shift-adds: a 1-channel
+    conv_general on TPU leaves the MXU idle (measured 2.6 ms for the two
+    3x3 convs on 1242x375; this form ~0.3 ms). Matches _conv2_same(img,
+    _SOBEL_X/_SOBEL_Y) with zero boundaries."""
+    # smooth [1,2,1] along y then central difference along x (and vice
+    # versa); convolution flips the kernel, hence +shift = -offset
+    sy = _shift(img, -1, 0) + 2.0 * img + _shift(img, 1, 0)
+    sx = _shift(img, 0, -1) + 2.0 * img + _shift(img, 0, 1)
+    gx = (_shift(sy, 0, -1) - _shift(sy, 0, 1)) / 8.0
+    gy = (_shift(sx, -1, 0) - _shift(sx, 1, 0)) / 8.0
+    return gx, gy
+
+
 @partial(jax.jit, static_argnames=("tiles", "n_bins"))
 def clahe(img: jnp.ndarray, clip_limit: float = 2.0, tiles: tuple = (8, 8),
           n_bins: int = 256) -> jnp.ndarray:
@@ -140,8 +170,7 @@ _SOBEL_Y = _SOBEL_X.T
 
 def min_eig_response(img: jnp.ndarray, block: int) -> jnp.ndarray:
     """Shi-Tomasi min-eigenvalue of the block-averaged structure tensor."""
-    gx = _conv2_same(img, _SOBEL_X)
-    gy = _conv2_same(img, _SOBEL_Y)
+    gx, gy = _sobel_xy(img)
     a = _box_filter(gx * gx, block)
     b = _box_filter(gx * gy, block)
     c = _box_filter(gy * gy, block)
@@ -152,8 +181,7 @@ def min_eig_response(img: jnp.ndarray, block: int) -> jnp.ndarray:
 
 def harris_response(img: jnp.ndarray, block: int, k: float = 0.04) -> jnp.ndarray:
     """Harris corner measure det(M) - k tr(M)^2 (cv::ORB HARRIS_SCORE)."""
-    gx = _conv2_same(img, _SOBEL_X)
-    gy = _conv2_same(img, _SOBEL_Y)
+    gx, gy = _sobel_xy(img)
     a = _box_filter(gx * gx, block)
     b = _box_filter(gx * gy, block)
     c = _box_filter(gy * gy, block)
@@ -204,11 +232,10 @@ def hessian_response(img: jnp.ndarray,
     out = None
     for s in sigmas:
         L = gauss_blur(img, s)
-        lx = _conv2_same(L, _SOBEL_X)
-        ly = _conv2_same(L, _SOBEL_Y)
-        lxx = _conv2_same(lx, _SOBEL_X)
-        lyy = _conv2_same(ly, _SOBEL_Y)
-        lxy = _conv2_same(lx, _SOBEL_Y)
+        lx, ly = _sobel_xy(L)
+        lxx, _ = _sobel_xy(lx)
+        _, lyy = _sobel_xy(ly)
+        _, lxy = _sobel_xy(lx)
         det = (s * s) ** 2 * (lxx * lyy - lxy * lxy)
         out = det if out is None else jnp.maximum(out, det)
     return out
