@@ -101,11 +101,6 @@ def bench_pgo(n_poses=256, n_iters=10):
     return n_iters / dt
 
 
-if __name__ == "__main__":
-    bench_pgo()
-    bench_vloam()
-
-
 def bench_batch(batch=4, n_chunks=3, chunk=8):
     """Aggregate throughput of BatchLoamEngine: B independent HDL-64
     sequences advanced concurrently on one chip (vmap over streams inside
@@ -146,3 +141,9 @@ def bench_batch(batch=4, n_chunks=3, chunk=8):
     print(json.dumps({"metric": "batch_loam_aggregate_frames_per_sec",
                       "value": round(agg, 1), "batch": batch}))
     return agg
+
+
+if __name__ == "__main__":
+    bench_pgo()
+    bench_vloam()
+    bench_batch()

@@ -117,12 +117,6 @@ def main(n_pairs=10):
               np.round(arr[:, 6]).astype(int).tolist())
 
 
-if __name__ == "__main__":
-    t0 = time.time()
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)
-    print(f"\n{time.time()-t0:.0f}s")
-
-
 def ablate(n_pairs=8):
     """Grid of config tweaks -> mean f2f errors."""
     import dataclasses
@@ -452,3 +446,9 @@ def improve_ablation2(n_pairs=8, variants=None):
               f"  |t| {np.linalg.norm(e[:, :3], axis=1).mean():4.0f} mm"
               f"  rot {e[:, 3].mean():5.2f} mrad  n32 {e[:, 4].mean():4.0f}"
               f"  n22 {e[:, 5].mean():4.0f}", flush=True)
+
+
+if __name__ == "__main__":
+    t0 = time.time()
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)
+    print(f"\n{time.time()-t0:.0f}s")

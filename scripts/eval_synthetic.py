@@ -45,8 +45,11 @@ def build_frames(n_frames, with_cam, cfg):
     CACHE.mkdir(exist_ok=True)
     frames = []
     t0 = time.time()
+    # cache key MUST change whenever the scene or trajectory params above
+    # change, or stale frames get scored against the new ground truth
+    world_tag = "w3_ext160_b36_s24_scurve"
     for k, T in enumerate(poses):
-        tag = f"f{k}_{int(with_cam)}_{cfg.vo.img_width}"
+        tag = f"{world_tag}_f{k}_{int(with_cam)}_{cfg.vo.img_width}"
         cpath = CACHE / f"{tag}.npz"
         if cpath.exists():
             data = np.load(cpath)

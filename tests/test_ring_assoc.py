@@ -81,7 +81,7 @@ def test_slab_from_flat_roundtrip():
 def test_ring_slab_assoc_semantics():
     """d0/p0 = global nearest; d2/p2 = nearest on different nearby ring;
     d3/p3 = second nearest on the nearest's ring (surf mode). The default
-    packed impl saturates distances at 64 m^2 (above every consumer gate;
+    (mxu) and packed impls saturate distances at 64 m^2 (above every consumer gate;
     the LO gate is 25 m^2), so expected values clip the same way."""
     rng = np.random.default_rng(3)
     S, C = 8, 32

@@ -82,7 +82,7 @@ def _dataset_get_points(ds, start_frame, cfg):
     return get_points
 
 
-def _run_loop_closure(result, calib, cfg, get_points, args, gt_poses):
+def _run_loop_closure(result, calib, cfg, get_points, args):
     """Post-sequence loop closure + pose-graph re-optimization of the MO
     trajectory (new-scope backend; reference drifts without bound)."""
     from scipy.spatial.transform import Rotation as Rot
@@ -259,7 +259,7 @@ def main(argv=None):
     if "fps" in result:
         print(f"throughput: {result['fps']:.1f} frames/s")
     if args.loop_close and "MO" in result and len(result["MO"]) > 2:
-        _run_loop_closure(result, calib, cfg, get_points, args, gt_poses)
+        _run_loop_closure(result, calib, cfg, get_points, args)
     if gt_poses is not None:
         from .eval.kitti_metrics import kitti_metrics
 

@@ -285,7 +285,7 @@ def ring_slab_assoc(
         dmin, amin = ring_min1_xla(queries, slab_t)
     elif impl == "mxu":
         dmin, amin = ring_min1_mxu(queries, slab_t)
-    else:  # "packed" (default): single-pass packed reduction
+    else:  # "packed": single-pass packed reduction, exact f32 distances
         dmin, amin = ring_min1_packed(queries, slab_t)
 
     rings = jnp.arange(S)

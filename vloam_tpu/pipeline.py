@@ -144,18 +144,24 @@ def run_sequence_fused(cfg: PipelineConfig, calib, frames,
             else:
                 eng.push(frame["points"])
             n_frames += 1
-        raw = unpack_outputs(eng.finish())
-        # export through the frame chain (f64)
+        raw = unpack_outputs(eng.finish(),
+                             min_correspondences=cfg.lo.min_correspondences)
+        # export through the frame chain algebra (vloam_tf.cpp:77-153),
+        # vectorized: the per-frame scipy loop costs seconds on
+        # 4,660-frame sequences
+        from .geometry.np_pose import inv_T, qt_to_T
+
         chain = FrameChain(np.asarray(calib.imu_T_velo, np.float64),
                            np.asarray(calib.imu_T_cam0, np.float64))
-        trajs = {"LO": [], "MO": []}
-        for k in range(n_frames):
-            chain.lo_update(raw["q_f2f"][k], raw["t_f2f"][k],
-                            raw["q_w_lo"][k], raw["t_w_lo"][k])
-            chain.mo_update(raw["q_w_mo"][k], raw["t_w_mo"][k])
-            for which in trajs:
-                trajs[which].append(chain.to_cam0_start(which, k))
-        result = {w: np.stack(v) for w, v in trajs.items()}
+        B = chain.base_T_cam0
+        Binv = np.linalg.inv(B)
+        result = {}
+        for which, (q_w, t_w) in (("LO", (raw["q_w_lo"], raw["t_w_lo"])),
+                                  ("MO", (raw["q_w_mo"], raw["t_w_mo"]))):
+            W = qt_to_T(q_w, t_w)
+            X = np.einsum("ij,njk,kl->nil", Binv, W, B)
+            start_inv = inv_T(X[0]) if n_frames > 0 else np.eye(4)
+            result[which] = np.einsum("ij,njk->nik", start_inv, X)[:, :3, :]
         result["raw"] = raw
     else:
         from .vloam_step import VloamEngine, unpack_vloam_outputs
@@ -167,7 +173,9 @@ def run_sequence_fused(cfg: PipelineConfig, calib, frames,
             else:
                 eng.push(frame["points"], frame["image"])
             n_frames += 1
-        raw = unpack_vloam_outputs(eng.finish(), calib)
+        raw = unpack_vloam_outputs(
+            eng.finish(), calib,
+            min_correspondences=cfg.lo.min_correspondences)
         result = {w: raw[f"traj_{w}"] for w in ("VO", "LO", "MO")}
         result["raw"] = raw
     dt = time.perf_counter() - t0

@@ -233,9 +233,8 @@ def hessian_response(img: jnp.ndarray,
     for s in sigmas:
         L = gauss_blur(img, s)
         lx, ly = _sobel_xy(L)
-        lxx, _ = _sobel_xy(lx)
+        lxx, lxy = _sobel_xy(lx)
         _, lyy = _sobel_xy(ly)
-        _, lxy = _sobel_xy(lx)
         det = (s * s) ** 2 * (lxx * lyy - lxy * lxy)
         out = det if out is None else jnp.maximum(out, det)
     return out

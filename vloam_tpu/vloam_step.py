@@ -440,6 +440,7 @@ class VloamEngine:
     def push(self, points: np.ndarray, image: np.ndarray):
         from .data.synthetic import pad_scan
 
+        assert not self._polar, "do not mix push() and push_polar()"
         padded, n = pad_scan(points, self.cfg.lidar.max_points)
         if image.dtype != np.uint8:
             image = np.clip(image * 255.0, 0, 255).astype(np.uint8)
@@ -537,7 +538,8 @@ class VloamEngine:
         return np.asarray(stacked).reshape(-1, VLOAM_OUT_DIM)
 
 
-def unpack_vloam_outputs(outs: np.ndarray, calib) -> dict:
+def unpack_vloam_outputs(outs: np.ndarray, calib,
+                         min_correspondences: int = 10) -> dict:
     """Named arrays + the three exported cam0-start-frame trajectories
     (VO/LO/MO), recomposed in float64 with the FrameChain algebra
     (vloam_tf.cpp:59-153), vectorized: prefix-scan the VO world chain,
@@ -547,7 +549,7 @@ def unpack_vloam_outputs(outs: np.ndarray, calib) -> dict:
     from .geometry.np_pose import inv_T, mat_cumprod, qt_to_T
     from .lidar.loam_step import unpack_outputs
 
-    res = unpack_outputs(outs[:, :24])
+    res = unpack_outputs(outs[:, :24], min_correspondences)
     res["q_vo"] = outs[:, 24:28].astype(np.float64)
     res["t_vo"] = outs[:, 28:31].astype(np.float64)
     res["n32"] = outs[:, 31].astype(int)
