@@ -43,8 +43,10 @@ def main(n_frames=320):
     CACHE.mkdir(exist_ok=True)
     scans = []
     t0 = time.time()
+    # tag must change with the scene/trajectory params above (stale-cache
+    # guard)
     for k, T in enumerate(poses):
-        p = CACHE / f"s{k}.npy"
+        p = CACHE / f"w1_circle{n_frames}_s{k}.npy"
         if p.exists():
             scans.append(np.load(p))
         else:
