@@ -139,3 +139,51 @@ def test_cli_golden_regression(tmp_path):
         golden = _load_kitti_txt(FIXTURE / "golden" / f"{which}.txt")
         d = np.linalg.norm(fresh[:, :, 3] - golden[:, :, 3], axis=1)
         assert d.max() < tol, (which, d)
+
+
+def test_cli_checkpoint_resume(tmp_path):
+    """--save-state / --init-state: a run split across two CLI invocations
+    continues the SAME device map and pose chain (new scope; the reference
+    loses its map on restart). The resumed half's MO world poses must
+    continue from the checkpointed pose, not restart at identity."""
+    from vloam_tpu.cli import main
+
+    ck = tmp_path / "state.npz"
+    out1 = tmp_path / "part1"
+    rc = main([
+        "run", "--odometry-root", str(FIXTURE), "--seq", "00",
+        "--sensor", "tiny", "--mode", "lidar-only", "--engine", "fused",
+        "--chunk", "2", "--end-frame", "2", "--out", str(out1),
+        "--verbose", "0", "--save-state", str(ck),
+    ])
+    assert rc == 0 and ck.exists()
+
+    out2 = tmp_path / "part2"
+    rc = main([
+        "run", "--odometry-root", str(FIXTURE), "--seq", "00",
+        "--sensor", "tiny", "--mode", "lidar-only", "--engine", "fused",
+        "--chunk", "2", "--start-frame", "3", "--out", str(out2),
+        "--verbose", "0", "--init-state", str(ck),
+    ])
+    assert rc == 0
+
+    # full single run for comparison
+    out_full = tmp_path / "full"
+    rc = main([
+        "run", "--odometry-root", str(FIXTURE), "--seq", "00",
+        "--sensor", "tiny", "--mode", "lidar-only", "--engine", "fused",
+        "--chunk", "2", "--out", str(out_full), "--verbose", "0",
+    ])
+    assert rc == 0
+    # MO streams: the resumed run's poses are rebased to its own first
+    # frame; the full run rebased the same way over frames 3-4 must agree
+    full = _load_kitti_txt(out_full / "MO1.txt")
+    part2 = _load_kitti_txt(out2 / "MO1.txt")
+    assert len(part2) == 2
+    T3 = np.vstack([full[3], [0, 0, 0, 1]])
+    T4 = np.vstack([full[4], [0, 0, 0, 1]])
+    rel_full = (np.linalg.inv(T3) @ T4)[:3, :]
+    P0 = np.vstack([part2[0], [0, 0, 0, 1]])
+    P1 = np.vstack([part2[1], [0, 0, 0, 1]])
+    rel_part = (np.linalg.inv(P0) @ P1)[:3, :]
+    np.testing.assert_allclose(rel_part[:, 3], rel_full[:, 3], atol=0.05)

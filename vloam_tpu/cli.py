@@ -52,6 +52,12 @@ def _add_run(sub):
     p.add_argument("--out", default=None, help="output directory for txt files")
     p.add_argument("--profile", default=None, help="write a jax trace here")
     p.add_argument("--verbose", type=int, default=1)
+    p.add_argument("--init-state", default=None, metavar="NPZ",
+                   help="restore full device state (map + pose chain) from "
+                        "a checkpoint before the run")
+    p.add_argument("--save-state", default=None, metavar="NPZ",
+                   help="save full device state after the run (resume long "
+                        "drives / reuse maps across sessions)")
     p.add_argument("--save-map", default=None, metavar="DIR",
                    help="export the accumulated map every map_pub_number "
                         "frames as npz under DIR (reference /laser_cloud_map "
@@ -245,7 +251,9 @@ def main(argv=None):
                                         out_dir=args.out, chunk=args.chunk,
                                         lidar_only=(args.mode == "lidar-only"),
                                         verbose=args.verbose,
-                                        save_map=args.save_map)
+                                        save_map=args.save_map,
+                                        init_state=args.init_state,
+                                        save_state_path=args.save_state)
         else:
             result = run_sequence(cfg, calib, frame_iter, out_dir=args.out,
                                   progress=progress)

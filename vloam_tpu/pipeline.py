@@ -118,13 +118,18 @@ class VloamPipeline:
 def run_sequence_fused(cfg: PipelineConfig, calib, frames,
                        out_dir: str | None = None, chunk: int = 8,
                        lidar_only: bool = False, verbose: int = 0,
-                       save_map: str | None = None) -> dict:
+                       save_map: str | None = None,
+                       init_state: str | None = None,
+                       save_state_path: str | None = None) -> dict:
     """Drive a sequence through the fused device-resident engines (one jit
     call per chunk of frames, one download per sequence). Returns the
     exported trajectories (+ fps). save_map: directory receiving the
     accumulated map every cfg.mapping.map_pub_number frames as
     map_<frame>.npz (reference /laser_cloud_map publisher,
-    laser_mapping.cpp:778-793)."""
+    laser_mapping.cpp:778-793). init_state / save_state_path: restore /
+    persist the full device state pytree (cube map, feature clouds, pose
+    chain) via runtime.checkpoint — a resumed run continues the SAME map
+    (new scope; the reference loses its map on any restart)."""
     t0 = time.perf_counter()
     n_frames = 0
     map_cb = None
@@ -138,6 +143,10 @@ def run_sequence_fused(cfg: PipelineConfig, calib, frames,
         from .lidar.loam_step import LoamEngine, unpack_outputs
 
         eng = LoamEngine(cfg, chunk=chunk, map_callback=map_cb)
+        if init_state is not None:
+            from .runtime.checkpoint import load_state
+
+            eng.state = load_state(init_state, eng.state)
         for frame in frames:
             if "polar" in frame:  # quantized range image (smallest upload)
                 eng.push_polar(frame["polar"])
@@ -146,6 +155,10 @@ def run_sequence_fused(cfg: PipelineConfig, calib, frames,
             n_frames += 1
         raw = unpack_outputs(eng.finish(),
                              min_correspondences=cfg.lo.min_correspondences)
+        if save_state_path is not None:
+            from .runtime.checkpoint import save_state
+
+            save_state(save_state_path, eng.state)
         # export through the frame chain algebra (vloam_tf.cpp:77-153),
         # vectorized: the per-frame scipy loop costs seconds on
         # 4,660-frame sequences
@@ -167,6 +180,12 @@ def run_sequence_fused(cfg: PipelineConfig, calib, frames,
         from .vloam_step import VloamEngine, unpack_vloam_outputs
 
         eng = VloamEngine(cfg, calib, chunk=chunk, map_callback=map_cb)
+        if init_state is not None:
+            from .runtime.checkpoint import load_state
+
+            eng.vstate, eng.lstate = load_state(
+                init_state, (eng.vstate, eng.lstate))
+            eng._frame = 1  # resumed: VO/LO treat frame 0 as initialized
         for frame in frames:
             if "polar" in frame:  # quantized range image (smallest upload)
                 eng.push_polar(frame["polar"], frame["image"])
@@ -176,6 +195,10 @@ def run_sequence_fused(cfg: PipelineConfig, calib, frames,
         raw = unpack_vloam_outputs(
             eng.finish(), calib,
             min_correspondences=cfg.lo.min_correspondences)
+        if save_state_path is not None:
+            from .runtime.checkpoint import save_state
+
+            save_state(save_state_path, (eng.vstate, eng.lstate))
         result = {w: raw[f"traj_{w}"] for w in ("VO", "LO", "MO")}
         result["raw"] = raw
     dt = time.perf_counter() - t0
