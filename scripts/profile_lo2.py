@@ -73,7 +73,7 @@ def main():
 
     chained("solve_lo (full)", lambda a, b, c, d: solve_lo(
         a, b, c, d, q0, t0v, cfg.lo)[0],
-        f1.sharp, f1.flat, f0.less_sharp, f0.less_flat)
+        f1.sharp, f1.flat, f0.less_sharp_slab, f0.less_flat_slab)
 
     sq, sm = f1.sharp.xyz, f1.sharp.mask
     cq = f0.less_sharp.xyz

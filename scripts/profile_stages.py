@@ -66,7 +66,7 @@ def main():
     t0v = jnp.zeros(3, jnp.float32)
     lo = jax.jit(lambda a, b, c, d: solve_lo(a, b, c, d, q0, t0v, cfg.lo))
     timed("solve_lo", lo, feats1.sharp, feats1.flat,
-          feats0.less_sharp, feats0.less_flat)
+          feats0.less_sharp_slab, feats0.less_flat_slab)
 
     # empty map: the `enough` cond skips the GN solve -> insert-only cost;
     # then populate and time the full assoc+GN+insert path
