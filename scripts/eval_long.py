@@ -35,18 +35,43 @@ def _enable_compile_cache():
 
 
 def build_frames(n_frames):
-    """Polar frames over a long S-curve that stays inside the world."""
-    scene = synthetic.urban_scene(0, extent=400.0, n_boxes=90, n_poles=120,
-                                  scatter=60)
+    """Polar frames over a long S-curve with the world built ALONG the
+    trajectory (buildings flank the road by construction — a fixed street
+    grid gets driven through once the S-curve wanders)."""
     k = np.arange(n_frames)
     period = 160
     yaw = np.where((k // period) % 2 == 0, 0.004, -0.004)
     poses = synthetic.drive_trajectory(n_frames, speed=1.2, yaw_rate=yaw)
+    rng = np.random.default_rng(0)
+    centers = np.stack([T[:3, 3] for T in poses])
+    heads = np.stack([T[:3, 0] for T in poses])  # +x of the sensor frame
+    boxes, poles = [], []
+    for i in range(0, n_frames, 10):  # a building pair every ~12 m
+        p = centers[i]
+        n_vec = np.array([-heads[i][1], heads[i][0], 0.0])  # road normal
+        for side in (-1.0, 1.0):
+            off = rng.uniform(11.0, 18.0)
+            c = p + side * off * n_vec
+            w = rng.uniform(3.0, 7.0)
+            d = rng.uniform(3.0, 7.0)
+            boxes.append([c[0] - w, c[0] + w, c[1] - d, c[1] + d, -1.73,
+                          rng.uniform(4.0, 12.0)])
+        if i % 20 == 0:
+            pp = p + rng.choice([-1.0, 1.0]) * rng.uniform(5.0, 8.0) * n_vec
+            poles.append([pp[0], pp[1], rng.uniform(0.08, 0.2), -1.73,
+                          rng.uniform(3.0, 6.0)])
+    scene = synthetic.Scene(boxes=np.asarray(boxes, np.float64),
+                            poles=np.asarray(poles, np.float64))
+    # safety: the path must never enter a box
+    for p in centers:
+        for b in boxes:
+            assert not (b[0] - 1 < p[0] < b[1] + 1
+                        and b[2] - 1 < p[1] < b[3] + 1), (p, b)
     CACHE.mkdir(exist_ok=True)
     frames = []
     t0 = time.time()
     for i, T in enumerate(poses):
-        p = CACHE / f"w1_s{n_frames}_{i}.npy"
+        p = CACHE / f"w2road_s{n_frames}_{i}.npy"
         if p.exists():
             frames.append(np.load(p))
         else:
