@@ -78,10 +78,11 @@ def query_depth(
     -1 where the neighborhood is too sparse (reference :336-338).
 
     The (2r+1)^2 bucket window is fetched with ONE batched flat gather of
-    [Q, win^2] precomputed indices per plane — the previous vmapped
-    dynamic_slice formulation serialized thousands of tiny slices and
-    measured 10.3 ms for 2048 queries on the chip; this form is ~50x
-    faster (scripts/profile_vision_stages.py)."""
+    [Q, win^2, 4] (all four planes interleaved in the minor dim — separate
+    per-plane gathers pay the index lookups 4x: 1.93 vs 0.55 ms at 2048
+    queries). The previous vmapped dynamic_slice formulation serialized
+    thousands of tiny slices and measured 10.3 ms
+    (scripts/profile_vision_stages.py)."""
     g = cfg.downsample_grid_size
     r = cfg.depth_search_radius
     win = 2 * r + 1
@@ -89,10 +90,10 @@ def query_depth(
     ph = gh + 2 * r
 
     pad = ((r, r), (r, r))
-    pu = jnp.pad(grid.u, pad).reshape(-1)
-    pv = jnp.pad(grid.v, pad).reshape(-1)
-    pz = jnp.pad(grid.z, pad).reshape(-1)
-    pc = jnp.pad(grid.cnt, pad).reshape(-1)
+    planes = jnp.stack([
+        jnp.pad(grid.u, pad), jnp.pad(grid.v, pad), jnp.pad(grid.z, pad),
+        jnp.pad(grid.cnt.astype(jnp.float32), pad),
+    ], axis=-1).reshape(-1, 4)
 
     x, y = xy[:, 0], xy[:, 1]
     ix = jnp.clip(jnp.floor(x / g).astype(jnp.int32), 0, gw - 1)
@@ -101,11 +102,10 @@ def query_depth(
     off = (dx.reshape(-1) * ph + dy.reshape(-1)).astype(jnp.int32)
     flat = (ix * ph + iy)[:, None] + off[None, :]  # [Q, win^2]
 
-    wu = pu[flat]
-    wv = pv[flat]
-    wz = pz[flat]
+    wall = planes[flat]  # [Q, win^2, 4]
+    wu, wv, wz = wall[..., 0], wall[..., 1], wall[..., 2]
     # padding cells have cnt == 0, replicating the reference's bounds check
-    ok = pc[flat] > 0
+    ok = wall[..., 3] > 0
     n_ok = jnp.sum(ok.astype(jnp.int32), axis=1)
     dist = jnp.sqrt((x[:, None] - wu) ** 2 + (y[:, None] - wv) ** 2)
     dist = jnp.where(ok, dist, jnp.inf)
