@@ -72,3 +72,29 @@ def test_vloam_engine_polar_ingest():
         m = kitti_metrics(gt, res[f"traj_{which}"], step=1)
         assert m["ate_rmse_m"] < tol, (which, m)
     assert res["n32"][1:].min() > 0  # VO got depth-backed matches
+
+
+def test_engine_accepts_off_size_images():
+    """KITTI image sizes vary per sequence (1241x376, 1226x370, ...); the
+    jitted vision path needs the config's static shape, so the engine
+    crops/zero-pads bottom-right (pixel coords and K stay valid)."""
+    import numpy as np
+
+    from vloam_tpu.data import synthetic
+    from vloam_tpu.vloam_step import _fit_image
+
+    cfg = small_cfg(detach_VO_LO=False)
+    vo = cfg.vo
+    for shape in ((vo.img_height + 1, vo.img_width - 1),
+                  (vo.img_height - 2, vo.img_width + 3)):
+        img = np.ones(shape, np.uint8)
+        out = _fit_image(img, vo)
+        assert out.shape == (vo.img_height, vo.img_width)
+
+    calib, frames, gt = synth_setup(3, seed=4)
+    eng = VloamEngine(cfg, calib, chunk=2)
+    for f in frames():
+        img = f["image"][: vo.img_height - 2, : vo.img_width - 3]  # off-size
+        eng.push(f["points"], img)
+    res = unpack_vloam_outputs(eng.finish(), calib)
+    assert np.isfinite(res["traj_MO"]).all()

@@ -399,6 +399,20 @@ def loam_frame_jit(state: LoamState, scan, n_pts, prior_q, prior_t,
                            cfg)
 
 
+def _fit_image(image: np.ndarray, vo_cfg) -> np.ndarray:
+    """Crop/zero-pad an image to the config's static jit shape (bottom/right
+    only, so pixel coordinates and the intrinsics stay valid). KITTI image
+    sizes vary per sequence (1241x376, 1226x370, 1242x375, ...)."""
+    H, W = vo_cfg.img_height, vo_cfg.img_width
+    if image.shape == (H, W):
+        return image
+    image = image[:H, :W]
+    if image.shape != (H, W):
+        image = np.pad(image, ((0, H - image.shape[0]),
+                               (0, W - image.shape[1])))
+    return image
+
+
 class VloamEngine:
     """Host wrapper for the fused VLOAM pipeline (camera + lidar).
 
@@ -444,6 +458,7 @@ class VloamEngine:
         padded, n = pad_scan(points, self.cfg.lidar.max_points)
         if image.dtype != np.uint8:
             image = np.clip(image * 255.0, 0, 255).astype(np.uint8)
+        image = _fit_image(image, self.cfg.vo)
         self._scans.append(padded)
         self._ns.append(n)
         self._imgs.append(image)
@@ -467,6 +482,7 @@ class VloamEngine:
         self._polar_scale = range_scale
         if image.dtype != np.uint8:
             image = np.clip(image * 255.0, 0, 255).astype(np.uint8)
+        image = _fit_image(image, self.cfg.vo)
         self._polar.append(range_img)
         self._imgs.append(image)
         if len(self._polar) >= self.chunk:
