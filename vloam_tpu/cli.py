@@ -76,6 +76,24 @@ def _add_eval(sub):
     p.add_argument("--pred", required=True)
 
 
+def _fit_cfg_to_images(cfg, ds, start_frame, mode):
+    """Compile the vision path for the dataset's native image size (KITTI
+    sizes vary per sequence: 1241x376, 1226x370, 1242x375, ...). Falls back
+    to the config default when no images exist."""
+    if mode == "lidar-only" or not getattr(ds, "img_files", None):
+        return cfg
+    import dataclasses
+
+    from .data.kitti import load_image_gray
+
+    h, w = load_image_gray(ds.img_files[min(start_frame,
+                                            len(ds.img_files) - 1)]).shape
+    if (h, w) == (cfg.vo.img_height, cfg.vo.img_width):
+        return cfg
+    return cfg.replace(vo=dataclasses.replace(cfg.vo, img_height=h,
+                                              img_width=w))
+
+
 def _dataset_get_points(ds, start_frame, cfg):
     """Scan-by-index accessor for the loop-closure backend."""
     from .data.kitti import load_velodyne_bin
@@ -212,6 +230,7 @@ def main(argv=None):
         calib = ds.calib
         end = len(ds) if args.end_frame < 0 else min(args.end_frame + 1, len(ds))
         frame_iter = (ds.frame(i) for i in range(args.start_frame, end))
+        cfg = _fit_cfg_to_images(cfg, ds, args.start_frame, args.mode)
         get_points = _dataset_get_points(ds, args.start_frame, cfg)
     elif args.raw_root:
         from .data.kitti import KittiRawDrive
@@ -222,6 +241,7 @@ def main(argv=None):
         calib = ds.calib
         end = len(ds) if args.end_frame < 0 else min(args.end_frame + 1, len(ds))
         frame_iter = (ds.frame(i) for i in range(args.start_frame, end))
+        cfg = _fit_cfg_to_images(cfg, ds, args.start_frame, args.mode)
         get_points = _dataset_get_points(ds, args.start_frame, cfg)
     else:
         ap.error("one of --synthetic / --odometry-root / --raw-root required")
