@@ -187,3 +187,21 @@ def test_cli_checkpoint_resume(tmp_path):
     P1 = np.vstack([part2[1], [0, 0, 0, 1]])
     rel_part = (np.linalg.inv(P0) @ P1)[:3, :]
     np.testing.assert_allclose(rel_part[:, 3], rel_full[:, 3], atol=0.05)
+
+
+def test_cli_viz_flag(tmp_path):
+    """--viz dumps match and depth debug PNGs (the reference's visualize_*
+    image topics, visual_odometry.cpp:489-522)."""
+    from vloam_tpu.cli import main
+
+    viz = tmp_path / "viz"
+    rc = main([
+        "run", "--odometry-root", str(FIXTURE), "--seq", "00",
+        "--sensor", "tiny", "--mode", "combined", "--engine", "host",
+        "--out", str(tmp_path / "out"), "--verbose", "0",
+        "--viz", str(viz),
+    ])
+    assert rc == 0
+    pngs = sorted(viz.glob("*.png"))
+    assert any(p.name.startswith("matches_") for p in pngs)
+    assert any(p.name.startswith("depth_") for p in pngs)

@@ -52,6 +52,10 @@ def _add_run(sub):
     p.add_argument("--out", default=None, help="output directory for txt files")
     p.add_argument("--profile", default=None, help="write a jax trace here")
     p.add_argument("--verbose", type=int, default=1)
+    p.add_argument("--viz", default=None, metavar="DIR",
+                   help="dump match/depth debug PNGs every 10 frames "
+                        "(host engine only; the reference's visualize_* "
+                        "image topics)")
     p.add_argument("--init-state", default=None, metavar="NPZ",
                    help="restore full device state (map + pose chain) from "
                         "a checkpoint before the run")
@@ -276,7 +280,7 @@ def main(argv=None):
                                         save_state_path=args.save_state)
         else:
             result = run_sequence(cfg, calib, frame_iter, out_dir=args.out,
-                                  progress=progress)
+                                  progress=progress, viz_dir=args.viz)
     finally:
         if ctx is not None:
             ctx.__exit__(None, None, None)

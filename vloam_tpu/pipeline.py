@@ -34,10 +34,16 @@ from .vision.vo import VisualOdometry
 
 
 class VloamPipeline:
-    def __init__(self, cfg: PipelineConfig, calib):
-        """calib: data.kitti.Calib (or compatible namespace)."""
+    def __init__(self, cfg: PipelineConfig, calib, viz_dir: str | None = None,
+                 viz_every: int = 10):
+        """calib: data.kitti.Calib (or compatible namespace). viz_dir:
+        dump match + depth debug PNGs every viz_every frames (the
+        reference's visualize_* image topics, visual_odometry.cpp:
+        489-522)."""
         self.cfg = cfg
         self.calib = calib
+        self.viz_dir = viz_dir
+        self.viz_every = viz_every
         self.chain = FrameChain(np.asarray(calib.imu_T_velo, np.float64),
                                 np.asarray(calib.imu_T_cam0, np.float64))
         self.vo = VisualOdometry(cfg.vo, calib.K, calib.P_velo_to_img)
@@ -77,6 +83,9 @@ class VloamPipeline:
                 cam_T[:3, :3] = R.from_rotvec(angles).as_matrix()
                 cam_T[:3, 3] = tr
                 self.chain.vo_update(cam_T)
+                if (self.viz_dir is not None
+                        and (self.count - 1) % self.viz_every == 0):
+                    self._render_debug_images()
             out["t_vo_solve_ms"] = t.toc_ms()
 
         # ---- scan registration (S5a) ----
@@ -110,6 +119,23 @@ class VloamPipeline:
             mo_pose=self.chain.world_MOT_base_last.copy(),
         )
         return out
+
+    def _render_debug_images(self):
+        from pathlib import Path
+
+        from .vision.viz import render_depth, render_matches
+
+        Path(self.viz_dir).mkdir(parents=True, exist_ok=True)
+        i, j = self.vo.i, 1 - self.vo.i
+        prev_uv, curr_uv, valid = self.vo.last_matches
+        pairs = [(k, k) for k in np.flatnonzero(valid)]
+        render_matches(np.asarray(self.vo.images[j]),
+                       np.asarray(self.vo.images[i]),
+                       prev_uv, curr_uv, pairs,
+                       path=f"{self.viz_dir}/matches_{self.count:06d}.png")
+        render_depth(np.asarray(self.vo.images[i]), self.vo.grids[i],
+                     self.cfg.vo,
+                     path=f"{self.viz_dir}/depth_{self.count:06d}.png")
 
     def export_poses(self, which: str) -> np.ndarray:
         return self.chain.to_cam0_start(which, self.count)
@@ -217,11 +243,12 @@ def run_sequence_fused(cfg: PipelineConfig, calib, frames,
 
 
 def run_sequence(cfg: PipelineConfig, calib, frames, out_dir: str | None = None,
-                 save_traj: bool | None = None, progress=None) -> dict:
+                 save_traj: bool | None = None, progress=None,
+                 viz_dir: str | None = None) -> dict:
     """Drive a full sequence (the execute()/rosbag-play equivalent,
     vloam_main_node.cpp:182-222). `frames` yields dicts with 'points' and
     optional 'image'. Returns trajectories + timing stats."""
-    pipe = VloamPipeline(cfg, calib)
+    pipe = VloamPipeline(cfg, calib, viz_dir=viz_dir)
     save = cfg.save_traj if save_traj is None else save_traj
     files = {}
     if out_dir is not None and save:

@@ -181,4 +181,7 @@ class VisualOdometry:
         self.angles = np.asarray(angles, np.float64)
         self.t = np.asarray(t, np.float64)
         self.stats = {"n32": int(n32), "n22": int(n22)}
+        # kept for the debug-image renderers (reference visualize_* flags)
+        self.last_matches = (np.asarray(prev_uv), np.asarray(curr_uv),
+                             np.asarray(valid))
         return self.angles, self.t
