@@ -14,7 +14,8 @@ import numpy as np
 from vloam_tpu.config import kitti_hdl64
 from vloam_tpu.data import synthetic
 from vloam_tpu.lidar import scan_registration as sr
-from vloam_tpu.lidar.knn import _dist_sq, shortlist_ring_assoc
+from legacy_assoc import shortlist_ring_assoc
+from vloam_tpu.lidar.knn import _dist_sq
 from vloam_tpu.lidar.odometry import solve_lo
 from vloam_tpu.runtime.profiling import fence
 

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vloam_tpu.lidar.knn import shortlist_ring_assoc
+from legacy_assoc import shortlist_ring_assoc
 from vloam_tpu.lidar.ring_assoc import (RingSlab, SENTINEL, ring_min2_pallas,
                                         ring_min2_xla, ring_slab_assoc,
                                         slab_from_flat)

@@ -41,8 +41,8 @@ def test_batch_engine_matches_single_streams():
         np.testing.assert_allclose(res["t_w_mo"], singles[b]["t_w_mo"],
                                    atol=1e-2)
 
-    # default int16 staging (5 mm) stays within a few cm of the exact run
-    batch_q = BatchLoamEngine(cfg, batch=2, chunk=2)
+    # opt-in int16 staging (5 mm) stays within a few cm of the exact run
+    batch_q = BatchLoamEngine(cfg, batch=2, chunk=2, quantize_mm=5.0)
     for k in range(n):
         for b in range(2):
             batch_q.push(b, streams[b][k])

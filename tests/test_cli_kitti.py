@@ -205,3 +205,23 @@ def test_cli_viz_flag(tmp_path):
     pngs = sorted(viz.glob("*.png"))
     assert any(p.name.startswith("matches_") for p in pngs)
     assert any(p.name.startswith("depth_") for p in pngs)
+
+
+def test_cli_viz_flow_mode(tmp_path):
+    """--viz with --optical-flow dumps flow-arrow PNGs (the reference's
+    visualize_optical_flow topic, visual_odometry.cpp:489-522, active when
+    optical_flow_match=true, vloam_main.launch:9-10)."""
+    from vloam_tpu.cli import main
+
+    viz = tmp_path / "viz"
+    rc = main([
+        "run", "--odometry-root", str(FIXTURE), "--seq", "00",
+        "--sensor", "tiny", "--mode", "combined", "--engine", "host",
+        "--out", str(tmp_path / "out"), "--verbose", "0",
+        "--viz", str(viz), "--optical-flow",
+    ])
+    assert rc == 0
+    pngs = sorted(viz.glob("*.png"))
+    assert any(p.name.startswith("flow_") for p in pngs)
+    assert not any(p.name.startswith("matches_") for p in pngs)
+    assert any(p.name.startswith("depth_") for p in pngs)

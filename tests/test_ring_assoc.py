@@ -120,11 +120,9 @@ def test_ring_slab_assoc_semantics():
                                atol=1e-3)
 
 
-def test_assoc_matches_shortlist_on_dense_cloud():
-    """On a dense structured cloud the exact ring-slab association and the
-    approx shortlist association agree on (d0, d2) for gated picks."""
-    from vloam_tpu.lidar.knn import shortlist_ring_assoc
-
+def test_assoc_matches_bruteforce_on_dense_cloud():
+    """On a dense structured cloud the ring-slab association must agree
+    with a numpy brute-force (d0, d2) for gated picks."""
     rng = np.random.default_rng(4)
     S, C = 16, 128
     # structured: ring s is a circle at elevation-dependent radius
@@ -141,22 +139,25 @@ def test_assoc_matches_shortlist_on_dense_cloud():
         flat_ring.append(np.full(C, s, np.int32))
     flat_xyz = np.concatenate(flat_xyz)
     flat_ring = np.concatenate(flat_ring)
-    mask = np.ones(len(flat_xyz), bool)
     q = flat_xyz[rng.choice(len(flat_xyz), 64, replace=False)] + rng.normal(
         0, 0.05, (64, 3)).astype(np.float32)
 
-    exact = ring_slab_assoc(jnp.asarray(q), RingSlab(jnp.asarray(slab_np)),
-                            nearby_scan=2.5, mode="corner")
-    approx = shortlist_ring_assoc(jnp.asarray(q), jnp.asarray(flat_xyz),
-                                  jnp.asarray(flat_ring), jnp.asarray(mask),
-                                  2.5, mode="corner", shortlist=24)
-    np.testing.assert_allclose(np.asarray(exact["d0"]),
-                               np.asarray(approx["d0"]), rtol=1e-4, atol=1e-4)
-    # d2 agreement for picks the LO gate accepts (<25 m^2)
-    gated = np.asarray(approx["d2"]) < 25.0
-    np.testing.assert_allclose(np.asarray(exact["d2"])[gated],
-                               np.asarray(approx["d2"])[gated],
-                               rtol=1e-4, atol=1e-4)
+    out = ring_slab_assoc(jnp.asarray(q), RingSlab(jnp.asarray(slab_np)),
+                          nearby_scan=2.5, mode="corner")
+    D = np.sum((q[:, None] - flat_xyz[None]) ** 2, axis=-1)  # [64, S*C]
+    i0 = np.argmin(D, axis=1)
+    r0 = flat_ring[i0]
+    d0 = D[np.arange(len(q)), i0]
+    m_other = (flat_ring[None] != r0[:, None]) & (
+        np.abs(flat_ring[None] - r0[:, None]) <= 2.5)
+    d2 = np.min(np.where(m_other, D, np.inf), axis=1)
+    # d* are gate-only (quantized ~3e-5 m^2, saturated at 64 m^2 — see
+    # ring_slab_assoc docstring); compare with matching tolerance
+    np.testing.assert_allclose(np.asarray(out["d0"]), d0, rtol=1e-4,
+                               atol=1e-3)
+    gated = d2 < 25.0
+    np.testing.assert_allclose(np.asarray(out["d2"])[gated], d2[gated],
+                               rtol=1e-4, atol=1e-3)
 
 
 def test_ring_min2_pallas_pads_non_tile_query_counts():

@@ -115,37 +115,5 @@ def test_ring_constrained_search(rng):
         np.testing.assert_allclose(float(res["d3"][k]), want3, rtol=1e-4)
 
 
-def test_shortlist_assoc_matches_exact_on_scan_data(rng):
-    """The one-pass shortlist form must agree with the exact two-pass form
-    on realistic scan geometry (ring-structured candidates) for every
-    correspondence that passes the 25 m^2 gate."""
-    from vloam_tpu.lidar.knn import shortlist_ring_assoc
-
-    # ring-structured candidates: 16 rings x 160 azimuth samples on circles
-    az = np.linspace(0, 2 * np.pi, 160, endpoint=False)
-    pts, rings = [], []
-    for r in range(16):
-        rad = 5.0 + 0.8 * r
-        z = 0.1 * r
-        pts.append(np.stack([rad * np.cos(az), rad * np.sin(az),
-                             np.full_like(az, z)], 1))
-        rings.append(np.full(160, r))
-    c = jnp.asarray(np.concatenate(pts) + rng.normal(size=(2560, 3)) * 0.02,
-                    jnp.float32)
-    ring = jnp.asarray(np.concatenate(rings), jnp.int32)
-    mask = jnp.asarray(rng.uniform(size=2560) > 0.1)
-    q = jnp.asarray(np.concatenate(pts)[rng.integers(0, 2560, 100)]
-                    + rng.normal(size=(100, 3)) * 0.1, jnp.float32)
-
-    exact = nearest_and_ring_constrained(q, c, ring, mask, 2.5, mode="surf",
-                                         c_tile=512)
-    fast = shortlist_ring_assoc(q, c, ring, mask, 2.5, mode="surf",
-                                shortlist=24)
-    np.testing.assert_allclose(np.asarray(fast["d0"]),
-                               np.asarray(exact["d0"]), rtol=1e-4, atol=1e-5)
-    for key in ("d2", "d3"):
-        e = np.asarray(exact[key])
-        f = np.asarray(fast[key])
-        gated = e < 25.0  # only gated correspondences are used by LO
-        assert gated.sum() > 60
-        np.testing.assert_allclose(f[gated], e[gated], rtol=1e-4, atol=1e-5)
+# (the one-pass shortlist association was retired to scripts/legacy_assoc.py
+# in round 4 — superseded in production by ring_assoc.ring_slab_assoc)

@@ -55,7 +55,12 @@ def _add_run(sub):
     p.add_argument("--viz", default=None, metavar="DIR",
                    help="dump match/depth debug PNGs every 10 frames "
                         "(host engine only; the reference's visualize_* "
-                        "image topics)")
+                        "image topics; with --optical-flow dumps flow "
+                        "arrows instead of matches)")
+    p.add_argument("--optical-flow", action="store_true",
+                   help="match features by pyramidal LK optical flow "
+                        "instead of descriptors (reference "
+                        "optical_flow_match, vloam_main.launch:10)")
     p.add_argument("--init-state", default=None, metavar="NPZ",
                    help="restore full device state (map + pose chain) from "
                         "a checkpoint before the run")
@@ -179,6 +184,11 @@ def main(argv=None):
     cfg = cfg.replace(
         detach_VO_LO=(args.mode != "combined"), verbose_level=args.verbose
     )
+    if args.optical_flow:
+        import dataclasses
+
+        cfg = cfg.replace(vo=dataclasses.replace(cfg.vo,
+                                                 optical_flow_match=True))
 
     gt_poses = None
     if args.synthetic:

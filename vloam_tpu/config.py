@@ -212,6 +212,37 @@ def kitti_hdl64() -> PipelineConfig:
     return PipelineConfig()
 
 
+def reference_exact() -> PipelineConfig:
+    """KITTI profile with every accuracy-motivated default divergence rolled
+    back to the reference's values, for one-liner parity comparisons against
+    the upstream framework. The defaults this undoes (all measured
+    improvements, scripts/diag_vo.py):
+
+    - vo.max_keypoints 2048 -> 1024          (image_util.cpp:20)
+    - vo.shi_tomasi_quality 0.01 -> 0.03     (image_util.cpp:22)
+    - vo.huber_delta 0.05 -> 0.1             (visual_odometry.cpp:258)
+    - vo.descriptor_patch 24 -> 16           (nearest TPU analogue of ORB's
+                                              31 px oriented-BRIEF window)
+    - vo.subpixel True -> False              (int-truncation quirk,
+                                              visual_odometry.cpp:283-307)
+    - vo.max_depth_spread disabled (0.0 is already the reference behavior)
+
+    Note scanreg.strict_sector_order stays False: the reference-exact
+    sequential sector order does not compile in benchable time on the TPU
+    backend; the batched form differs on <1% of labels (only when a
+    suppression window crosses a sector boundary) — see
+    tests/test_scan_registration.py."""
+    return PipelineConfig(
+        vo=VisualOdometryConfig(
+            max_keypoints=1024,
+            shi_tomasi_quality=0.03,
+            huber_delta=0.1,
+            descriptor_patch=16,
+            subpixel=False,
+        ),
+    )
+
+
 def tiny_test_profile() -> PipelineConfig:
     """Small shapes for fast unit tests / CPU meshes."""
     return PipelineConfig(

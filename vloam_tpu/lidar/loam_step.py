@@ -234,6 +234,9 @@ class LoamEngine:
         return pad_scan(points, cap)[0]
 
     def push(self, points: np.ndarray):
+        # xyz and polar pending queues flush on independent chunk thresholds;
+        # interleaving them would reorder frames relative to push order
+        assert not self._pending_polar, "do not mix push() and push_polar()"
         self._pending_scans.append(self._stage(points))
         self._pending_n.append(min(len(points), self.cfg.lidar.max_points))
         if len(self._pending_scans) >= self.chunk:
@@ -244,6 +247,7 @@ class LoamEngine:
         """Push one quantized range image [n_scans, n_azimuth] uint16 (the
         smallest-upload ingest: 2 bytes/ray; xyz reconstructed on device).
         All frames of a sequence must share shape and scale."""
+        assert not self._pending_scans, "do not mix push() and push_polar()"
         if self._elev is None:
             from ..data.synthetic import hdl64_elevations
 
@@ -424,10 +428,12 @@ class BatchLoamEngine:
     with repeated last frames and ignore the tail outputs)."""
 
     def __init__(self, cfg: PipelineConfig, batch: int, chunk: int = 4,
-                 quantize_mm: float = 5.0):
+                 quantize_mm: float = 0.0):
         """quantize_mm > 0 stages scans as int16 in that many mm per unit
-        (default 5 mm, +-163 m range): the B-way batch multiplies upload
-        bytes, which dominate wall clock on the tunnel backend."""
+        (e.g. 5 -> 5 mm resolution, coordinates CLAMPED at +-163.8 m): the
+        B-way batch multiplies upload bytes, which dominate wall clock on
+        the tunnel backend, so upload-bound benchmarks should pass
+        quantize_mm=5.0 explicitly. Default 0.0 is lossless float32."""
         self.cfg = cfg
         self.batch = batch
         self.chunk = chunk
@@ -445,6 +451,7 @@ class BatchLoamEngine:
                    elevations_deg: np.ndarray | None = None):
         """Quantized range-image ingest [n_scans, n_azimuth] uint16 —
         smallest upload (2 bytes/ray; the batch path is upload-bound)."""
+        assert not any(self._scans), "do not mix push() and push_polar()"
         if self._elev is None:
             from ..data.synthetic import hdl64_elevations
 
@@ -468,6 +475,7 @@ class BatchLoamEngine:
         self._outs.append(outs)
 
     def push(self, stream: int, points: np.ndarray):
+        assert not any(self._polar), "do not mix push() and push_polar()"
         from ..data.synthetic import pad_scan
 
         cap = self.cfg.lidar.max_points

@@ -268,14 +268,24 @@ def ring_slab_assoc(
     mode: str = "corner",
     impl: str = "mxu",
 ):
-    """LO correspondence search over per-ring slabs; EXACT counterpart of
-    knn.shortlist_ring_assoc (same output dict, but indices are (ring, slot)
-    pairs resolved to 3D points directly).
+    """LO correspondence search over per-ring slabs: per-ring exact minimum
+    association (reference laser_odometry.cpp:266-444 semantics; indices are
+    (ring, slot) pairs resolved to 3D points directly).
 
     Returns dict with:
       d0 [Q], p0 [Q, 3]   nearest candidate anywhere
       d2 [Q], p2 [Q, 3]   nearest on a DIFFERENT ring within +-nearby_scan
       d3 [Q], p3 [Q, 3]   (surf) second-nearest on the SAME ring
+
+    DISTANCE CONTRACT: the returned d0/d2/d3 are GATE-ONLY values, not exact
+    metric distances. The default "mxu" impl (and "packed", and the d3 path)
+    packs squared distances into int32 for the single-pass min-reduction:
+    values are quantized to ~3e-5 m^2 steps and SATURATED at clip_d = 64 m^2,
+    and the mxu/bf16 3-pass distance products can reorder near-equidistant
+    (<~1e-4 m^2 apart) candidates. All of this is safe for LOAM's 25 m^2
+    acceptance gates (the selected POINTS p0/p2/p3 are what feed residuals);
+    do not treat d* as exact distances in new consumers — use "xla" impl or
+    recompute ||q - p*||^2 from the returned points if exactness matters.
     """
     S = slab.n_rings
     slab_t = jnp.swapaxes(slab.xyz, 1, 2)  # [S, 3, C]

@@ -123,16 +123,23 @@ class VloamPipeline:
     def _render_debug_images(self):
         from pathlib import Path
 
-        from .vision.viz import render_depth, render_matches
+        from .vision.viz import render_depth, render_flow, render_matches
 
         Path(self.viz_dir).mkdir(parents=True, exist_ok=True)
         i, j = self.vo.i, 1 - self.vo.i
         prev_uv, curr_uv, valid = self.vo.last_matches
-        pairs = [(k, k) for k in np.flatnonzero(valid)]
-        render_matches(np.asarray(self.vo.images[j]),
-                       np.asarray(self.vo.images[i]),
-                       prev_uv, curr_uv, pairs,
-                       path=f"{self.viz_dir}/matches_{self.count:06d}.png")
+        if self.cfg.vo.optical_flow_match:
+            # flow arrows on the current frame (reference
+            # visualize_optical_flow, visual_odometry.cpp:489-522)
+            render_flow(np.asarray(self.vo.images[i]), prev_uv, curr_uv,
+                        valid,
+                        path=f"{self.viz_dir}/flow_{self.count:06d}.png")
+        else:
+            pairs = [(k, k) for k in np.flatnonzero(valid)]
+            render_matches(np.asarray(self.vo.images[j]),
+                           np.asarray(self.vo.images[i]),
+                           prev_uv, curr_uv, pairs,
+                           path=f"{self.viz_dir}/matches_{self.count:06d}.png")
         render_depth(np.asarray(self.vo.images[i]), self.vo.grids[i],
                      self.cfg.vo,
                      path=f"{self.viz_dir}/depth_{self.count:06d}.png")
