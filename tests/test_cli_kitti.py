@@ -189,6 +189,34 @@ def test_cli_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(rel_part[:, 3], rel_full[:, 3], atol=0.05)
 
 
+def test_cli_mesh_flag_runs_distributed_mapping(tmp_path):
+    """--mesh 8 executes the mapping stage of a real (fixture) sequence as
+    distributed BA over the 8-device test mesh, and its MO trajectory
+    agrees with the single-device host run (VERDICT r3 item 1)."""
+    from vloam_tpu.cli import main
+
+    out_mesh = tmp_path / "mesh"
+    rc = main([
+        "run", "--odometry-root", str(FIXTURE), "--seq", "00",
+        "--sensor", "tiny", "--mode", "lidar-only", "--engine", "host",
+        "--out", str(out_mesh), "--verbose", "0", "--mesh", "8",
+    ])
+    assert rc == 0
+    out_single = tmp_path / "single"
+    rc = main([
+        "run", "--odometry-root", str(FIXTURE), "--seq", "00",
+        "--sensor", "tiny", "--mode", "lidar-only", "--engine", "host",
+        "--out", str(out_single), "--verbose", "0",
+    ])
+    assert rc == 0
+    mo_mesh = _load_kitti_txt(out_mesh / "MO1.txt")
+    mo_single = _load_kitti_txt(out_single / "MO1.txt")
+    assert mo_mesh.shape == mo_single.shape
+    ate = np.sqrt(np.mean(np.sum(
+        (mo_mesh[:, :, 3] - mo_single[:, :, 3]) ** 2, axis=-1)))
+    assert ate <= 0.01, f"mesh vs single CLI MO ATE {ate:.4f} m"
+
+
 def test_cli_viz_flag(tmp_path):
     """--viz dumps match and depth debug PNGs (the reference's visualize_*
     image topics, visual_odometry.cpp:489-522)."""

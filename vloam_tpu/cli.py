@@ -71,6 +71,11 @@ def _add_run(sub):
                    help="export the accumulated map every map_pub_number "
                         "frames as npz under DIR (reference /laser_cloud_map "
                         "publisher analogue)")
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="run the mapping stage as distributed BA over an "
+                        "N-device mesh (sharded scan stacks + map blocks, "
+                        "psum'd normal equations; host engine; the "
+                        "BASELINE north star on the production pipeline)")
     p.add_argument("--loop-close", action="store_true",
                    help="after the sequence, detect loop closures (scan "
                         "re-matching) and re-optimize the MO trajectory "
@@ -279,8 +284,23 @@ def main(argv=None):
 
         ctx = device_trace(args.profile)
         ctx.__enter__()
-    try:
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from .parallel.sharded import data_mesh
+
+        devs = jax.devices()
+        if len(devs) < args.mesh:
+            ap.error(f"--mesh {args.mesh}: only {len(devs)} device(s) "
+                     "visible (use XLA_FLAGS=--xla_force_host_platform_"
+                     "device_count=N JAX_PLATFORMS=cpu for a virtual mesh)")
+        mesh = data_mesh(devs[:args.mesh])
         if args.engine == "fused":
+            print("--mesh runs through the host engine; "
+                  "overriding --engine fused")
+    try:
+        if args.engine == "fused" and mesh is None:
             result = run_sequence_fused(cfg, calib, frame_iter,
                                         out_dir=args.out, chunk=args.chunk,
                                         lidar_only=(args.mode == "lidar-only"),
@@ -290,7 +310,8 @@ def main(argv=None):
                                         save_state_path=args.save_state)
         else:
             result = run_sequence(cfg, calib, frame_iter, out_dir=args.out,
-                                  progress=progress, viz_dir=args.viz)
+                                  progress=progress, viz_dir=args.viz,
+                                  mesh=mesh)
     finally:
         if ctx is not None:
             ctx.__exit__(None, None, None)

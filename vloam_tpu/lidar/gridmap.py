@@ -193,6 +193,20 @@ def grid_knn(g: FeatureGrid, queries: jnp.ndarray, cell: float, k: int = 5):
     return knn_among(grid_gather(g, queries, cell), queries, k)
 
 
+@jax.jit
+def grid_flat_points(g: FeatureGrid):
+    """All map slots as a flat device array [n_buckets*cap, 3] + live mask
+    (sentinel slots masked False). This is the 'map blocks' view the
+    mesh-distributed mapping path shards over devices: consecutive slot
+    ranges = consecutive hash buckets = spatial cell blocks
+    (parallel/mesh_pipeline.py); no download, just a reshape."""
+    cap = g.cap
+    xyz = g.pts.reshape(-1, 3, cap)  # [nb, 3, cap]
+    pts = jnp.moveaxis(xyz, 1, 2).reshape(-1, 3)
+    live = pts[:, 0] < SENTINEL * 0.5
+    return pts, live
+
+
 def grid_export(g: FeatureGrid, max_points: int | None = None):
     """Download live points as a numpy [M, 3] array (one masked download)."""
     import numpy as np

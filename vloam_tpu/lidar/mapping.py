@@ -187,9 +187,29 @@ def solve_mapping(
 
     x = jax.lax.cond(enough, do_solve, lambda x: x, x0)
     q_w, t_w = x[:4], x[4:]
+    new_map = map_update(grid_map, corner_stack_xyz, corner_stack_mask,
+                         surf_stack_xyz, surf_stack_mask, q_w, t_w, cfg)
+    stats = {"n_map_corner": n_map_corner, "n_map_surf": n_map_surf,
+             "solved": enough}
+    return new_map, q_w, t_w, stats
 
-    # insert the refined-pose frame points (reference :638-686); the per-cube
-    # re-filter (:688-702) is subsumed by voxel dedup at insert
+
+@partial(jax.jit, static_argnames=("cfg",))
+def map_update(
+    grid_map: GridMap,
+    corner_stack_xyz: jnp.ndarray,
+    corner_stack_mask: jnp.ndarray,
+    surf_stack_xyz: jnp.ndarray,
+    surf_stack_mask: jnp.ndarray,
+    q_w: jnp.ndarray,
+    t_w: jnp.ndarray,
+    cfg: LaserMappingConfig,
+) -> GridMap:
+    """Post-solve map maintenance, shared by the single-device and the
+    mesh-distributed mapping paths: insert the refined-pose frame points
+    (reference :638-686; the per-cube re-filter :688-702 is subsumed by
+    voxel dedup at insert), then recenter (reference :207-402) by evicting
+    outside the window extent when the pose crosses a cube boundary."""
     pw_c = so3.quat_rotate(q_w, corner_stack_xyz) + t_w
     corner = grid_insert(grid_map.corner, pw_c, corner_stack_mask,
                          cfg.corner_cell, cfg.line_resolution)
@@ -197,8 +217,6 @@ def solve_mapping(
     surf = grid_insert(grid_map.surf, pw_s, surf_stack_mask,
                        cfg.surf_cell, cfg.plane_resolution)
 
-    # recenter (reference :207-402): evict outside the window extent when
-    # the pose crosses a cube boundary
     center = _cube_coord(t_w, cfg.cube_size)
     changed = jnp.any(center != grid_map.center)
     radius = jnp.asarray([
@@ -213,10 +231,7 @@ def solve_mapping(
         return grid_evict(c, c_w, radius), grid_evict(s, c_w, radius)
 
     corner, surf = jax.lax.cond(changed, do_evict, lambda g: g, (corner, surf))
-
-    stats = {"n_map_corner": n_map_corner, "n_map_surf": n_map_surf,
-             "solved": enough}
-    return GridMap(corner, surf, center), q_w, t_w, stats
+    return GridMap(corner, surf, center)
 
 
 def export_map_points(grid_map: GridMap, max_points: int = 1 << 20):

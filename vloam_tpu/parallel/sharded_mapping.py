@@ -151,7 +151,7 @@ def sharded_map_alignment(
             a, b, de, w_c = _corner_geometry(c_mask, near_c, d_c, cfg)
             n_hat, nood, w_s = _surf_geometry(s_mask, near_s, d_s, cfg)
 
-            def gn_body(_, x_in):
+            def fams_at(x_in):
                 def fn_c(delta):
                     qd = so3.quat_multiply(x_in[:4],
                                            so3.quat_from_axis_angle(delta[:3]))
@@ -167,16 +167,41 @@ def sharded_map_alignment(
                     pw = so3.quat_rotate(qd, s_stack) + td
                     return (jnp.sum(pw * n_hat, axis=-1) + nood)[:, None]
 
+                return fn_c, fn_s
+
+            def local_cost(x_in):
+                fn_c, fn_s = fams_at(x_in)
+                z = jnp.zeros(6, jnp.float32)
+                cc = jnp.sum(huber_cost(
+                    jnp.sum(fn_c(z) ** 2, axis=-1), cfg.huber_delta) * w_c)
+                cs = jnp.sum(huber_cost(
+                    jnp.sum(fn_s(z) ** 2, axis=-1), cfg.huber_delta) * w_s)
+                return cc + cs
+
+            # LM with accept/reject damping — the exact update rule of
+            # solver.lm.lm_solve, with every scalar reduction (H, g, cost)
+            # psum'd across the mesh so all devices take identical branches
+            def lm_body(_, carry):
+                x_in, lam = carry
+                fn_c, fn_s = fams_at(x_in)
                 # per-shard partial normal equations over LOCAL scan points,
                 # reduced with ONE psum — the Schur-style 6x6 reduction
-                Hc, gc, _ = _accumulate(fn_c, w_c, cfg.huber_delta)
-                Hs, gs, _ = _accumulate(fn_s, w_s, cfg.huber_delta)
+                Hc, gc, cc = _accumulate(fn_c, w_c, cfg.huber_delta)
+                Hs, gs, cs = _accumulate(fn_s, w_s, cfg.huber_delta)
                 H = jax.lax.psum(Hc + Hs, axis)
                 g = jax.lax.psum(gc + gs, axis)
-                delta = solve_damped(H, g, jnp.float32(1e-4))
-                return _retract(x_in, -delta)
+                cost = jax.lax.psum(cc + cs, axis)
+                delta = solve_damped(H, g, lam)
+                x_try = _retract(x_in, -delta)
+                cost_try = jax.lax.psum(local_cost(x_try), axis)
+                accept = cost_try < cost
+                x_new = jnp.where(accept, x_try, x_in)
+                lam_new = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-7),
+                                    jnp.minimum(lam * 8.0, 1e2))
+                return x_new, lam_new
 
-            x_new = jax.lax.fori_loop(0, cfg.gn_iterations, gn_body, x)
+            x_new, _ = jax.lax.fori_loop(0, cfg.gn_iterations, lm_body,
+                                         (x, jnp.float32(1e-4)))
             n_loc = jnp.sum(w_c) + jnp.sum(w_s)
             return x_new, n_loc
 

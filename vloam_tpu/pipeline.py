@@ -35,11 +35,13 @@ from .vision.vo import VisualOdometry
 
 class VloamPipeline:
     def __init__(self, cfg: PipelineConfig, calib, viz_dir: str | None = None,
-                 viz_every: int = 10):
+                 viz_every: int = 10, mesh=None):
         """calib: data.kitti.Calib (or compatible namespace). viz_dir:
         dump match + depth debug PNGs every viz_every frames (the
         reference's visualize_* image topics, visual_odometry.cpp:
-        489-522)."""
+        489-522). mesh: a jax.sharding.Mesh — the mapping stage then runs
+        as distributed BA over it (parallel/mesh_pipeline.MeshLaserMapping:
+        sharded stacks + map blocks, psum'd normal equations)."""
         self.cfg = cfg
         self.calib = calib
         self.viz_dir = viz_dir
@@ -48,7 +50,12 @@ class VloamPipeline:
                                 np.asarray(calib.imu_T_cam0, np.float64))
         self.vo = VisualOdometry(cfg.vo, calib.K, calib.P_velo_to_img)
         self.lo = LaserOdometry(cfg.lo)
-        self.mo = LaserMapping(cfg.mapping)
+        if mesh is not None:
+            from .parallel.mesh_pipeline import MeshLaserMapping
+
+            self.mo = MeshLaserMapping(cfg.mapping, mesh)
+        else:
+            self.mo = LaserMapping(cfg.mapping)
         self.count = -1
         self.watchdog = Watchdog(budget_ms=100.0, verbose=cfg.verbose_level > 0)
         self.timings: dict[str, float] = {}
@@ -251,11 +258,12 @@ def run_sequence_fused(cfg: PipelineConfig, calib, frames,
 
 def run_sequence(cfg: PipelineConfig, calib, frames, out_dir: str | None = None,
                  save_traj: bool | None = None, progress=None,
-                 viz_dir: str | None = None) -> dict:
+                 viz_dir: str | None = None, mesh=None) -> dict:
     """Drive a full sequence (the execute()/rosbag-play equivalent,
     vloam_main_node.cpp:182-222). `frames` yields dicts with 'points' and
-    optional 'image'. Returns trajectories + timing stats."""
-    pipe = VloamPipeline(cfg, calib, viz_dir=viz_dir)
+    optional 'image'. Returns trajectories + timing stats. mesh: run the
+    mapping stage as distributed BA over the given device mesh."""
+    pipe = VloamPipeline(cfg, calib, viz_dir=viz_dir, mesh=mesh)
     save = cfg.save_traj if save_traj is None else save_traj
     files = {}
     if out_dir is not None and save:
