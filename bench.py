@@ -34,19 +34,37 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def _bench_combined(cfg, scene, t_budget_s):
+def _cached_frames(key, gen):
+    """Generate-or-load synthetic frames: frame generation is the slow half
+    of the bench wall clock, and the frames are deterministic — caching them
+    under /tmp keeps the combined metric affordable in ANY driver budget
+    (it used to be silently skipped when <150 s remained)."""
+    import numpy as np
+
+    path = f"/tmp/vloam_bench_cache_{key}.npz"
+    try:
+        with np.load(path) as z:
+            return [z[k] for k in z.files]
+    except Exception:
+        arrs = gen()
+        try:
+            np.savez(path, *arrs)
+        except Exception:
+            pass
+        return arrs
+
+
+def _bench_combined(cfg, scene):
     """Secondary metric: full camera+lidar VLOAM throughput (VloamEngine,
     vision chunk + LOAM chunk per 8 frames). Reference full-callback budget
     is ~147 ms/frame = ~6.8 fps (34 ms image + 2.6 ms projection + 11 ms VO
     solve + 100 ms LOAM; src/vloam_main/README.md:115-119,
-    lidar_odometry_mapping.cpp:150-153). Returns fps or None if the time
-    budget is too tight to attempt it."""
+    lidar_odometry_mapping.cpp:150-153). Always runs; failures propagate to
+    the caller (which reports them in the JSON line, loudly)."""
     import time
 
     import numpy as np
 
-    if t_budget_s < 150:
-        return None
     from vloam_tpu.data import synthetic
     from vloam_tpu.runtime.profiling import fence
     from vloam_tpu.vloam_step import VloamEngine
@@ -70,13 +88,20 @@ def _bench_combined(cfg, scene, t_budget_s):
     # tunnel jitter dominated shorter windows (33-47 fps run-to-run)
     poses = synthetic.drive_trajectory(n_warm + n_meas, speed=1.1,
                                        yaw_rate=0.01)
-    scans, imgs = [], []
-    for k, T in enumerate(poses):
-        scans.append(synthetic.simulate_scan_polar(
-            scene, T, n_scans=cfg_c.lidar.n_scans, n_azimuth=1800, seed=k))
-        imgs.append((synthetic.render_camera(
-            scene, T @ velo_T_cam, K, cfg_c.vo.img_width,
-            cfg_c.vo.img_height) * 255).astype(np.uint8))
+
+    def gen():
+        scans, imgs = [], []
+        for k, T in enumerate(poses):
+            scans.append(synthetic.simulate_scan_polar(
+                scene, T, n_scans=cfg_c.lidar.n_scans, n_azimuth=1800,
+                seed=k))
+            imgs.append((synthetic.render_camera(
+                scene, T @ velo_T_cam, K, cfg_c.vo.img_width,
+                cfg_c.vo.img_height) * 255).astype(np.uint8))
+        return scans + imgs
+
+    arrs = _cached_frames(f"combined_{n_warm + n_meas}", gen)
+    scans, imgs = arrs[:len(poses)], arrs[len(poses):]
     eng = VloamEngine(cfg_c, calib, chunk=chunk)
     for k in range(n_warm):
         eng.push_polar(scans[k], imgs[k])
@@ -86,6 +111,58 @@ def _bench_combined(cfg, scene, t_budget_s):
         eng.push_polar(scans[k], imgs[k])
     fence(eng.state)
     return n_meas / (time.perf_counter() - t0)
+
+
+# peak (bf16 MXU FLOP/s, HBM bytes/s) per chip, public spec sheets
+_CHIP_PEAKS = {
+    "TPU v5 lite": (197e12, 819e9),
+    "TPU v4": (275e12, 1228e9),
+    "TPU v5": (459e12, 2765e9),
+    "TPU v5p": (459e12, 2765e9),
+    "TPU v6 lite": (918e12, 1640e9),
+    "TPU v6e": (918e12, 1640e9),
+}
+
+
+def _roofline(cfg, ranges, elev, fps):
+    """Chip-capability accounting for the fused LOAM chunk: XLA's compiled
+    cost analysis gives FLOPs and HBM bytes accessed per chunk; scaled by
+    the measured frame rate this yields %-of-roofline utilization against
+    the chip's peak HBM bandwidth and MXU throughput — i.e. how far the
+    fps is from what the CHIP could do, not just from the reference CPU's
+    10 fps budget. Returns {} if the backend can't report cost analysis."""
+    import jax
+    import jax.numpy as jnp
+
+    from vloam_tpu.lidar.loam_step import LoamState, loam_run_chunk_polar
+
+    try:
+        state = LoamState.create(cfg)
+        f = ranges.shape[0]
+        pq = jnp.zeros((f, 4), jnp.float32).at[:, 3].set(1.0)
+        pt = jnp.zeros((f, 3), jnp.float32)
+        up = jnp.zeros((f,), bool)
+        compiled = loam_run_chunk_polar.lower(
+            state, jnp.asarray(ranges), elev, pq, pt, up, cfg=cfg,
+            scale=0.005).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops_per_frame = float(ca["flops"]) / f
+        bytes_per_frame = float(ca["bytes accessed"]) / f
+    except Exception as e:  # pragma: no cover - backend-dependent
+        return {"roofline_error": repr(e)}
+    out = {
+        "flops_per_frame": round(flops_per_frame, 1),
+        "hbm_bytes_per_frame": round(bytes_per_frame, 1),
+    }
+    kind = jax.devices()[0].device_kind
+    peaks = _CHIP_PEAKS.get(kind)
+    if peaks is not None:
+        peak_flops, peak_bw = peaks
+        out["device_kind"] = kind
+        out["hbm_util"] = round(bytes_per_frame * fps / peak_bw, 4)
+        out["mxu_util"] = round(flops_per_frame * fps / peak_flops, 4)
+    return out
 
 
 def main():
@@ -99,18 +176,22 @@ def main():
     from vloam_tpu.runtime.profiling import fence
 
     cfg = kitti_hdl64()
-    t_start = time.perf_counter()
     scene = synthetic.urban_scene(0, extent=80.0)
     chunk = 16
     n_warm, n_meas = chunk, 6 * chunk  # 96 measured frames (~1 s at
     # 90 fps): shorter windows showed 80-91 fps run-to-run tunnel jitter
     poses = synthetic.drive_trajectory(n_warm + n_meas, speed=1.1,
                                       yaw_rate=0.01)
-    frames = [
-        synthetic.simulate_scan_polar(scene, T, n_scans=cfg.lidar.n_scans,
-                                      n_azimuth=1800, noise=0.01, seed=k)
-        for k, T in enumerate(poses)
-    ]
+
+    def gen():
+        return [
+            synthetic.simulate_scan_polar(scene, T,
+                                          n_scans=cfg.lidar.n_scans,
+                                          n_azimuth=1800, noise=0.01, seed=k)
+            for k, T in enumerate(poses)
+        ]
+
+    frames = _cached_frames(f"lidar_{n_warm + n_meas}", gen)
     n_returns = [int((f > 0).sum()) for f in frames]
 
     eng = LoamEngine(cfg, chunk=chunk)
@@ -131,14 +212,6 @@ def main():
     assert np.isfinite(outs["t_w_mo"]).all()
     fps = n_meas / dt
 
-    # secondary metric: full camera+lidar mode, only if time budget allows
-    # (the driver's timeout must never kill the primary metric)
-    budget_left = 520.0 - (time.perf_counter() - t_start)
-    try:
-        combined_fps = _bench_combined(cfg, scene, budget_left)
-    except Exception:
-        combined_fps = None
-
     rec = {
         "metric": "loam_pipeline_frames_per_sec",
         "value": round(fps, 3),
@@ -146,10 +219,18 @@ def main():
             int(np.mean(n_returns)) // 1000),
         "vs_baseline": round(fps / 10.0, 3),
     }
-    if combined_fps is not None:
+    rec.update(_roofline(cfg, np.stack(frames[:chunk]), eng._elev, fps))
+
+    # secondary metric: full camera+lidar mode — always attempted; a
+    # failure is reported in the JSON line instead of silently dropping
+    # the metric (frames are /tmp-cached so this fits any driver budget)
+    try:
+        combined_fps = _bench_combined(cfg, scene)
         # reference full-callback envelope ~147 ms/frame = ~6.8 fps
         rec["combined_fps"] = round(combined_fps, 3)
         rec["combined_vs_baseline"] = round(combined_fps / 6.8, 3)
+    except Exception as e:
+        rec["combined_error"] = repr(e)
     print(json.dumps(rec))
     return 0
 

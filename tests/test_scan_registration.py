@@ -14,7 +14,8 @@ CFG = ScanRegistrationConfig(sharp_cap=1024, less_sharp_cap=8192,
                              flat_cap=2048, less_flat_cap=8192,
                              strict_sector_order=True)
 CFG_BATCHED = ScanRegistrationConfig(sharp_cap=1024, less_sharp_cap=8192,
-                                     flat_cap=2048, less_flat_cap=8192)
+                                     flat_cap=2048, less_flat_cap=8192,
+                                     strict_sector_order=False)
 
 
 def make_scan(seed=0, n_az=360):

@@ -44,14 +44,17 @@ class ScanRegistrationConfig:
     max_flat_per_sector: int = 4
     neighbor_suppress_gap_sq: float = 0.05  # ":358"
     less_flat_leaf: float = 0.2  # VoxelGrid leaf (":436")
-    # False (default) runs the 6 sectors' picks batched per round; True is
-    # the reference-exact sequential sector order (differs only when a
-    # suppression window crosses a sector boundary within one round,
-    # <1% of labels — test_batched_sector_selection_near_equals_strict).
-    # The strict form's deeply nested scan does NOT compile in benchable
-    # time on the axon TPU backend (>550 s vs 159 s batched, verified on
-    # hardware round 2), so batched is the default.
-    strict_sector_order: bool = False
+    # True (default) is the reference-exact sequential sector order
+    # (scan_registration.cpp:312-440), implemented as ONE flat fori_loop
+    # whose body matches the batched form — it compiles in ~12 s and runs
+    # at the same ~1.2 ms/frame as batched on the axon TPU (round 4; the
+    # round-2 nested-loop form took >550 s to compile, which is why this
+    # default was temporarily flipped to False). False runs the 6 sectors'
+    # k-th picks simultaneously (6x fewer serialized pick rounds; differs
+    # only when a suppression window crosses a sector boundary within one
+    # round, <1% of labels —
+    # test_batched_sector_selection_near_equals_strict).
+    strict_sector_order: bool = True
     # Static caps for the padded feature tensors. sharp/flat are EXACT
     # upper bounds (n_scans * n_sectors * max picks: 64*6*2=768 sharp,
     # 64*6*4=1536 flat — the selection can never overflow them), so the
@@ -227,11 +230,8 @@ def reference_exact() -> PipelineConfig:
                                               visual_odometry.cpp:283-307)
     - vo.max_depth_spread disabled (0.0 is already the reference behavior)
 
-    Note scanreg.strict_sector_order stays False: the reference-exact
-    sequential sector order does not compile in benchable time on the TPU
-    backend; the batched form differs on <1% of labels (only when a
-    suppression window crosses a sector boundary) — see
-    tests/test_scan_registration.py."""
+    scanreg.strict_sector_order already defaults to True (reference-exact
+    sequential sector selection), so no scanreg override is needed."""
     return PipelineConfig(
         vo=VisualOdometryConfig(
             max_keypoints=1024,

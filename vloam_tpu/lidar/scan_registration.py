@@ -184,42 +184,39 @@ def _select_ring(pts, curv, cnt, cfg: ScanRegistrationConfig):
     label = jnp.zeros((r_cap,), jnp.int32)
 
     if cfg.strict_sector_order:
-        def sector_body(j, state):
-            picked, label = state
+        # Reference-exact sequential order — sector j's picks see all of
+        # sector j-1's suppression — as ONE flat fori_loop of
+        # n_sectors * (n_corner + n_flat) steps with a branchless body
+        # (step s decodes to sector j, pick rank k; corner picks maximize
+        # curv, flat picks maximize -curv). The original nested
+        # sectors-x-picks loops took >550 s to compile on the axon backend
+        # (round 2); this single-loop form compiles like the batched path
+        # (one loop body) and just runs 6x more serialized pick rounds.
+        per_sector = n_corner + n_flat
+
+        def strict_pick(s, st):
+            picked, label = st
+            j = s // per_sector
+            k = s % per_sector
             in_sector = jax.lax.dynamic_index_in_dim(sect, j, keepdims=False)
-
-            def corner_pick(k, st):
-                picked, label = st
-                c = jnp.where(in_sector & ~picked & (curv > thr), curv, -jnp.inf)
-                ind = jnp.argmax(c)
-                ok = c[ind] > thr
-                lab = jnp.where(k < cfg.max_sharp_per_sector, 2, 1)
-                label = jnp.where(ok, label.at[ind].set(lab), label)
-                picked = picked | (ok & _suppress_mask(idx, bf, ind))
-                return picked, label
-
-            picked, label = jax.lax.fori_loop(0, n_corner, corner_pick,
-                                              (picked, label))
-
-            def flat_pick(k, st):
-                picked, label = st
-                c = jnp.where(in_sector & ~picked & (curv < thr), curv, jnp.inf)
-                ind = jnp.argmin(c)
-                ok = c[ind] < thr
-                label = jnp.where(ok, label.at[ind].set(-1), label)
-                # The reference breaks out before suppressing the 4th flat
-                # pick (scan_registration.cpp:390-394), so the last pick is
-                # not suppressed.
-                picked = picked | (ok & (k < n_flat - 1)
-                                   & _suppress_mask(idx, bf, ind))
-                return picked, label
-
-            picked, label = jax.lax.fori_loop(0, n_flat, flat_pick,
-                                              (picked, label))
+            is_corner = k < n_corner
+            score = jnp.where(is_corner, curv, -curv)
+            gate = jnp.where(is_corner, curv > thr, curv < thr)
+            c = jnp.where(in_sector & ~picked & gate, score, -jnp.inf)
+            ind = jnp.argmax(c)
+            ok = c[ind] > jnp.where(is_corner, thr, -thr)
+            lab = jnp.where(is_corner,
+                            jnp.where(k < cfg.max_sharp_per_sector, 2, 1),
+                            -1)
+            label = jnp.where(ok, label.at[ind].set(lab), label)
+            # The reference breaks out before suppressing the last flat
+            # pick (scan_registration.cpp:390-394).
+            do_supp = ok & (is_corner | (k - n_corner < n_flat - 1))
+            picked = picked | (do_supp & _suppress_mask(idx, bf, ind))
             return picked, label
 
-        _, label = jax.lax.fori_loop(0, cfg.n_sectors, sector_body,
-                                     (picked, label))
+        _, label = jax.lax.fori_loop(0, cfg.n_sectors * per_sector,
+                                     strict_pick, (picked, label))
     else:
         ns = cfg.n_sectors
         srange = jnp.arange(ns)
