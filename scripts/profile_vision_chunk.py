@@ -1,4 +1,5 @@
-"""Time vision_run_chunk compile + steady-state on the chip."""
+"""Time vision_lo_run_chunk (program 1: vision+scanreg+LO) compile +
+steady-state on the chip."""
 import sys, time
 from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -14,8 +15,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp
 from vloam_tpu.config import kitti_hdl64
 from vloam_tpu.data import synthetic
-from vloam_tpu.vloam_step import (CamExtrinsics, VisionState,
-                                  vision_run_chunk)
+from vloam_tpu.vloam_step import (CamExtrinsics, VisionLoState,
+                                  vision_lo_run_chunk)
 from vloam_tpu.runtime.profiling import fence
 
 chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 8
@@ -37,16 +38,16 @@ imgs = jnp.asarray(rng.integers(0, 255, (chunk, cfg.vo.img_height, cfg.vo.img_wi
 q0 = jnp.asarray([0, 0, 0, 1], jnp.float32)
 t0_ = jnp.zeros(3, jnp.float32)
 
-vstate = VisionState.create(cfg)
+vstate = VisionLoState.create(cfg)
 t0 = time.perf_counter()
-out = vision_run_chunk(vstate, scans, ns, imgs, q0, t0_, jnp.bool_(True), ext, cfg)
+out = vision_lo_run_chunk(vstate, scans, ns, imgs, ext, cfg)
 vstate = out[0]
 fence(vstate)
 print(f"compile+first chunk: {time.perf_counter()-t0:.1f} s", flush=True)
 t0 = time.perf_counter()
 for _ in range(3):
-    out = vision_run_chunk(vstate, scans, ns, imgs, q0, t0_, jnp.bool_(True), ext, cfg)
+    out = vision_lo_run_chunk(vstate, scans, ns, imgs, ext, cfg)
     vstate = out[0]
 fence(vstate)
 dt = time.perf_counter() - t0
-print(f"steady: {dt/3/chunk*1000:.1f} ms/frame ({3*chunk/dt:.1f} fps vision-only)")
+print(f"steady: {dt/3/chunk*1000:.1f} ms/frame ({3*chunk/dt:.1f} fps vision+LO)")

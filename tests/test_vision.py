@@ -197,3 +197,24 @@ def test_flann_and_nn_matcher_modes():
                                              select="nn")
     # NN keeps every masked query (no ratio rejection)
     assert bool(np.all(np.asarray(ok_n) == np.asarray(mask)))
+
+
+def test_pallas_descriptor_matches_xla_form():
+    """The Pallas ZNCC patch kernel (TPU production path) must match the
+    vmapped dynamic_slice XLA form; run here in interpret mode on CPU.
+    The only allowed deviation: sub-1e-3-contrast (degenerate) patches
+    yield a zero descriptor instead of normalized numerical noise."""
+    img, *_ = make_frame(5)
+    im = jnp.asarray(img)
+    xy, score, mask = features.detect_keypoints(im, CFG)
+    base = np.asarray(features.describe_keypoints(im, xy, CFG))
+    p = CFG.descriptor_patch
+    assert im.shape[1] < 384  # the tiny profile exercises the XLA fallback
+    imp = jnp.pad(im, ((0, 0), (0, 384 - im.shape[1])), mode="edge")
+    base_p = np.asarray(features.describe_keypoints(imp, xy, CFG))
+    got = np.asarray(features._describe_zncc_pallas(imp, xy, p,
+                                                    interpret=True))
+    err = np.abs(base_p - got).max(axis=1)
+    live = np.asarray(mask) & (np.linalg.norm(base_p, axis=1) > 0.5)
+    assert live.sum() > 30
+    assert err[live].max() < 1e-4, err[live].max()

@@ -175,7 +175,10 @@ class VisualOdometryConfig:
     # reference uses Huber(0.1) (visual_odometry.cpp:258); 0.05 downweights
     # the ~30% mismatch tail harder and cut f2f error 27->21 mm
     huber_delta: float = 0.05
-    max_iterations: int = 32  # ceres allows 100 (":67"); LM converges long before
+    # ceres allows 100 (":67"); LM converges long before. 24 measured
+    # metric-identical to 32 on the synthetic eval (VO t_rel/ATE unchanged
+    # to 3 digits) and saves ~0.35 ms/frame of latency-chained LM rounds.
+    max_iterations: int = 24
     max_matches: int = 2048  # static residual cap
     # Minimum accepted matches for a VO solve to count as valid: with near
     # zero residuals the LM returns its seed, and in the chunked engine
@@ -185,6 +188,13 @@ class VisualOdometryConfig:
     # -> LO diverged). Below the gate the frame's VO is rejected: LO falls
     # back to its own f2f continuity.
     min_vo_matches: int = 20
+    # Polar-ingest only: fraction of the range image's azimuth columns
+    # (centered on the forward direction) decoded for the camera depth
+    # grid. The camera's half-FOV is ~41 deg on KITTI (atan((W/2)/fx)),
+    # so the default 1/3 (+-60 deg) keeps every projectable return while
+    # the depth-grid scatter processes 3x fewer points (1.2 -> 0.4 ms).
+    # Set to 1.0 for the full sweep (e.g. unusual camera yaw mounting).
+    polar_fov_fraction: float = 1.0 / 3.0
     # True adds quadratic-peak subpixel corner refinement and keeps
     # subpixel coordinates in the residuals (depth bucket lookup still
     # truncates). False preserves the reference's int-truncation quirk

@@ -27,6 +27,11 @@ class Scene:
     # vertical cylinders: (cx, cy, radius, zmin, zmax)
     poles: np.ndarray = field(default_factory=lambda: np.zeros((0, 5)))
     max_range: float = 80.0
+    # image texture contrast multiplier (1.0 = urban default). Low values
+    # model the KITTI seq-01 highway regime: surfaces render nearly
+    # featureless, the corner detector finds few keypoints, and VO
+    # degrades/diverges (BASELINE.md row 01: VO 50.5% t_rel).
+    tex_scale: float = 1.0
 
 
 def urban_scene(seed: int = 0, extent: float = 60.0, n_boxes: int = 14,
@@ -59,6 +64,41 @@ def urban_scene(seed: int = 0, extent: float = 60.0, n_boxes: int = 14,
         py = rng.uniform(-7.0, 7.0) + np.sign(rng.standard_normal()) * 6.0
         poles.append([px, py, rng.uniform(0.08, 0.2), -1.73, rng.uniform(3, 6)])
     return Scene(boxes=np.asarray(boxes, np.float64), poles=np.asarray(poles, np.float64))
+
+
+def highway_scene(seed: int = 0, extent: float = 260.0,
+                  tex_scale: float = 0.06) -> Scene:
+    """Feature-poor highway corridor — the KITTI seq-01 stress regime
+    (BASELINE.md row 01: VO 50.5% t_rel, MO(C) 45.4% vs MO(D) 2.7%; the
+    reason the reference's detach_VO_LO flag exists,
+    vloam_main.launch:4). Properties mirrored from that sequence:
+
+    - near-featureless images (tex_scale ~0.06: surface contrast below the
+      corner detector's quality gate almost everywhere),
+    - sparse geometry: flat ground, a guardrail of small posts, and only a
+      handful of distant structures — LiDAR features are few but (unlike
+      the camera) still sufficient for LO/MO,
+    - meant to be driven FAST (speed >= 3) for highway-scale inter-frame
+      motion."""
+    rng = np.random.default_rng(seed)
+    boxes = []
+    # a few distant buildings/sound barriers, far off the road
+    for i in range(6):
+        x0 = -extent + (2 * extent) * i / 6 + rng.uniform(0, 30)
+        side = 1 if i % 2 == 0 else -1
+        y0 = side * rng.uniform(35, 60)
+        boxes.append([x0, x0 + rng.uniform(15, 40),
+                      min(y0, y0 + side * 6.0), max(y0, y0 + side * 6.0),
+                      -1.73, rng.uniform(3, 6)])
+    poles = []
+    # guardrail posts every ~8 m on both shoulders (thin, low)
+    for x in np.arange(-extent, extent, 8.0):
+        for side in (-1.0, 1.0):
+            poles.append([x + rng.uniform(-0.3, 0.3), side * 7.5,
+                          0.06, -1.73, -0.9])
+    return Scene(boxes=np.asarray(boxes, np.float64),
+                 poles=np.asarray(poles, np.float64),
+                 tex_scale=tex_scale)
 
 
 def hdl64_elevations(n_scans: int = 64) -> np.ndarray:
@@ -233,14 +273,15 @@ def _ray_scene_hit(origins, dirs, scene):
     hsh = np.sin(cell[:, 0] * 12.9898 + cell[:, 1] * 78.233
                  + cell[:, 2] * 37.719 + ph1)
     noise = ((hsh * 43758.5453) % 1.0) * np.clip(1.0 - tt / 45.0, 0.0, 1.0)
+    ts = scene.tex_scale
     tex = (
         0.52
-        + 0.16 * np.sin(2.1 * p[:, 0] + ph1) * np.cos(1.7 * p[:, 1] - ph2)
-        + 0.12 * np.sin(5.3 * p[:, 2] + 1.3 * p[:, 0] + 0.7 * ph2)
-        + 0.10 * np.sin(9.1 * p[:, 1] + 3.1 * p[:, 2] + ph1)
-        + 0.06 * np.sin(17.0 * p[:, 0] - 13.0 * p[:, 1] + 2.0 * ph2)
-        + 0.05 * np.sign(np.sin(4.9 * p[:, 0] + ph1) * np.sin(4.3 * p[:, 2] - ph2))
-        + 0.14 * (noise - 0.5)
+        + ts * 0.16 * np.sin(2.1 * p[:, 0] + ph1) * np.cos(1.7 * p[:, 1] - ph2)
+        + ts * 0.12 * np.sin(5.3 * p[:, 2] + 1.3 * p[:, 0] + 0.7 * ph2)
+        + ts * 0.10 * np.sin(9.1 * p[:, 1] + 3.1 * p[:, 2] + ph1)
+        + ts * 0.06 * np.sin(17.0 * p[:, 0] - 13.0 * p[:, 1] + 2.0 * ph2)
+        + ts * 0.05 * np.sign(np.sin(4.9 * p[:, 0] + ph1) * np.sin(4.3 * p[:, 2] - ph2))
+        + ts * 0.14 * (noise - 0.5)
     )
     shade = np.clip(1.0 - tt / (scene.max_range * 1.2), 0.2, 1.0)
     img = np.where(hit, np.clip(tex * shade, 0.0, 1.0), 0.08)

@@ -304,14 +304,12 @@ class LoamEngine:
         return np.asarray(stacked).reshape(-1, OUT_DIM)
 
 
-def polar_to_xyz(ranges_u16: jnp.ndarray, elev_rad: jnp.ndarray,
-                 scale: float) -> jnp.ndarray:
-    """Decode a quantized range image [S, A] uint16 (0 = no return) into
-    sensor-frame points [S*A, 3] (ring-major, matching the velodyne firing
-    order the rest of the stack expects). Invalid rays decode to the origin
-    and are culled by the scanreg minimum-range filter."""
+def polar_to_xyz_cols(ranges_u16: jnp.ndarray, elev_rad: jnp.ndarray,
+                      az: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Decode a (possibly column-subset) quantized range image [S, A']
+    with explicit per-column azimuths az [A'] into sensor-frame points
+    [S*A', 3]. Invalid rays (range 0) decode to the origin."""
     S, A = ranges_u16.shape
-    az = -jnp.linspace(0.0, 2.0 * jnp.pi, A, endpoint=False)
     ce, se = jnp.cos(elev_rad), jnp.sin(elev_rad)
     ca, sa = jnp.cos(az), jnp.sin(az)
     r = ranges_u16.astype(jnp.float32) * scale  # [S, A]
@@ -321,6 +319,17 @@ def polar_to_xyz(ranges_u16: jnp.ndarray, elev_rad: jnp.ndarray,
         jnp.broadcast_to(se[:, None], (S, A)),
     ], axis=-1)
     return (dirs * r[:, :, None]).reshape(S * A, 3)
+
+
+def polar_to_xyz(ranges_u16: jnp.ndarray, elev_rad: jnp.ndarray,
+                 scale: float) -> jnp.ndarray:
+    """Decode a quantized range image [S, A] uint16 (0 = no return) into
+    sensor-frame points [S*A, 3] (ring-major, matching the velodyne firing
+    order the rest of the stack expects). Invalid rays decode to the origin
+    and are culled by the scanreg minimum-range filter."""
+    A = ranges_u16.shape[1]
+    az = -jnp.linspace(0.0, 2.0 * jnp.pi, A, endpoint=False)
+    return polar_to_xyz_cols(ranges_u16, elev_rad, az, scale)
 
 
 @partial(jax.jit, static_argnames=("cfg", "scale"), donate_argnums=(0,))

@@ -156,30 +156,37 @@ def solve_mapping(
         cand_c = grid_gather(grid_map.corner, pc0, cfg.corner_cell)
         ps0 = so3.quat_rotate(x[:4], surf_stack_xyz) + x[4:]
         cand_s = grid_gather(grid_map.surf, ps0, cfg.surf_cell)
+        B_c = corner_stack_xyz.shape[0]
+        is_edge = (jnp.arange(B_c + surf_stack_xyz.shape[0]) < B_c)[:, None]
+        cp = jnp.concatenate([corner_stack_xyz, surf_stack_xyz])
         for _ in range(cfg.outer_rounds):
             a, b, de, v_c = _corner_terms(
                 corner_stack_xyz, corner_stack_mask, cand_c, x, cfg)
             n_hat, nood, v_s = _surf_terms(
                 surf_stack_xyz, surf_stack_mask, cand_s, x, cfg)
+            # ONE fused residual family (plane rows in slot 0, zero-padded)
+            # — one eval + one jacfwd + one cost per LM iteration instead
+            # of two; the LM loop is latency-chained, not FLOP-bound
+            A = jnp.concatenate([a, jnp.zeros_like(n_hat)])
+            Bp = jnp.concatenate([b, jnp.zeros_like(n_hat)])
+            DE = jnp.concatenate([de, jnp.ones(n_hat.shape[0], de.dtype)])
+            NH = jnp.concatenate([jnp.zeros_like(a), n_hat])
+            NOOD = jnp.concatenate([jnp.zeros(B_c, nood.dtype), nood])
+            w = jnp.concatenate([v_c, v_s]).astype(jnp.float32)
 
             def make_families(xx):
-                def edge_fn(delta):
-                    qd = so3.quat_multiply(xx[:4], so3.quat_from_axis_angle(delta[:3]))
+                def fused_fn(delta):
+                    qd = so3.quat_multiply(xx[:4],
+                                           so3.quat_from_axis_angle(delta[:3]))
                     td = xx[4:] + delta[3:]
-                    pw = so3.quat_rotate(qd, corner_stack_xyz) + td
-                    nu = jnp.cross(pw - a, pw - b)
-                    return nu / jnp.maximum(de, _EPS)[:, None]
+                    pw = so3.quat_rotate(qd, cp) + td
+                    r_edge = jnp.cross(pw - A, pw - Bp) / jnp.maximum(
+                        DE, _EPS)[:, None]
+                    r_plane = jnp.sum(pw * NH, axis=-1) + NOOD
+                    e0 = jnp.asarray([1.0, 0.0, 0.0], pw.dtype)
+                    return jnp.where(is_edge, r_edge, r_plane[:, None] * e0)
 
-                def plane_fn(delta):
-                    qd = so3.quat_multiply(xx[:4], so3.quat_from_axis_angle(delta[:3]))
-                    td = xx[4:] + delta[3:]
-                    pw = so3.quat_rotate(qd, surf_stack_xyz) + td
-                    return (jnp.sum(pw * n_hat, axis=-1) + nood)[:, None]
-
-                return [
-                    ResidualFamily(edge_fn, v_c.astype(jnp.float32)),
-                    ResidualFamily(plane_fn, v_s.astype(jnp.float32)),
-                ]
+                return [ResidualFamily(fused_fn, w)]
 
             x = lm_solve(make_families, _retract, x, dim=6,
                          iterations=cfg.gn_iterations, huber_delta=cfg.huber_delta)

@@ -123,36 +123,46 @@ def solve_lo(
     x = _pack(q_init, t_init)
     n_c = jnp.int32(0)
     n_s = jnp.int32(0)
+    B_c = sharp.xyz.shape[0]
+    is_edge = (jnp.arange(B_c + flat.xyz.shape[0]) < B_c)[:, None]
+    cp = jnp.concatenate([sharp.xyz, flat.xyz])
     for _ in range(cfg.outer_rounds):
         a, b, de, v_c = associate_corners(sharp, corner_last, x, cfg)
         pj, n_hat, v_s = associate_surfs(flat, surf_last, x, cfg)
         n_c = jnp.sum(v_c.astype(jnp.int32))
         n_s = jnp.sum(v_s.astype(jnp.int32))
-        cp_c = sharp.xyz
-        cp_s = flat.xyz
-        s_c = _deskew_fraction(sharp, cfg)
-        s_s = _deskew_fraction(flat, cfg)
+        if cfg.distortion:
+            s = jnp.concatenate([_deskew_fraction(sharp, cfg),
+                                 _deskew_fraction(flat, cfg)])
+        else:
+            s = None
+        # ONE fused residual family [B_c + B_s, 3]: plane residuals ride in
+        # slot 0 with zero-padded slots 1-2 (identical Huber block norms;
+        # lidarFactor.hpp's edge residual is 3-vector, plane is scalar).
+        # One family = one residual eval + one jacfwd + one cost per LM
+        # iteration instead of two of each — the LM loop is a serialized
+        # latency chain of small ops on this hardware, not FLOP-bound.
+        A = jnp.concatenate([a, jnp.zeros_like(pj)])
+        Bp = jnp.concatenate([b, jnp.zeros_like(pj)])
+        DE = jnp.concatenate([de, jnp.ones(pj.shape[0], de.dtype)])
+        PJ = jnp.concatenate([jnp.zeros_like(a), pj])
+        NH = jnp.concatenate([jnp.zeros_like(a), n_hat])
+        w = jnp.concatenate([v_c, v_s]).astype(jnp.float32)
 
         def make_families(xx):
             qq, tt = _unpack(xx)
 
-            def edge_fn(delta):
+            def fused_fn(delta):
                 qd = so3.quat_multiply(qq, so3.quat_from_axis_angle(delta[:3]))
                 td = tt + delta[3:]
-                lp = _transform_to_start(qd, td, cp_c, s_c)
-                nu = jnp.cross(lp - a, lp - b)
-                return nu / jnp.maximum(de, _EPS)[:, None]
+                lp = _transform_to_start(qd, td, cp, s)
+                r_edge = jnp.cross(lp - A, lp - Bp) / jnp.maximum(
+                    DE, _EPS)[:, None]
+                r_plane = jnp.sum((lp - PJ) * NH, axis=-1)
+                e0 = jnp.asarray([1.0, 0.0, 0.0], lp.dtype)
+                return jnp.where(is_edge, r_edge, r_plane[:, None] * e0)
 
-            def plane_fn(delta):
-                qd = so3.quat_multiply(qq, so3.quat_from_axis_angle(delta[:3]))
-                td = tt + delta[3:]
-                lp = _transform_to_start(qd, td, cp_s, s_s)
-                return jnp.sum((lp - pj) * n_hat, axis=-1, keepdims=True)
-
-            return [
-                ResidualFamily(edge_fn, v_c.astype(jnp.float32)),
-                ResidualFamily(plane_fn, v_s.astype(jnp.float32)),
-            ]
+            return [ResidualFamily(fused_fn, w)]
 
         x = lm_solve(make_families, _retract, x, dim=6,
                      iterations=cfg.gn_iterations, huber_delta=cfg.huber_delta)

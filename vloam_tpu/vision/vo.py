@@ -71,26 +71,29 @@ def solve_vo(
     m32 = valid & has_depth
     m22 = valid & ~has_depth
 
+    # ONE fused residual family over the match rows (each row is EITHER a
+    # 3D-2D CostFunctor32 block or a 2D-2D CostFunctor22 block; the
+    # epipolar scalar rides in slot 0 with a zero-padded slot 1 —
+    # identical Huber block norms, half the serialized ops per LM
+    # iteration on latency-bound hardware)
+    w_rows = (m32 | m22).astype(jnp.float32)
+    sel32 = m32[:, None]
+
     def make_families(x):
-        def fam32(delta):
+        def fused_fn(delta):
             w = x[:3] + delta[:3]
             t = x[3:] + delta[3:]
             Xp = so3.rotate_axis_angle(jnp.broadcast_to(w, X0.shape), X0) + t
-            return Xp[:, :2] - Xp[:, 2:3] * x1_bar
-
-        def fam22(delta):
-            w = x[:3] + delta[:3]
-            t = x[3:] + delta[3:]
+            r32 = Xp[:, :2] - Xp[:, 2:3] * x1_bar
             b0 = jnp.concatenate([x0_bar, jnp.ones_like(x0_bar[:, :1])], axis=1)
             b1 = jnp.concatenate([x1_bar, jnp.ones_like(x1_bar[:, :1])], axis=1)
             Rb0 = so3.rotate_axis_angle(jnp.broadcast_to(w, b0.shape), b0)
             tx = jnp.cross(jnp.broadcast_to(t, Rb0.shape), Rb0)
-            return jnp.sum(b1 * tx, axis=-1, keepdims=True)
+            r22 = jnp.sum(b1 * tx, axis=-1)
+            e0 = jnp.asarray([1.0, 0.0], r32.dtype)
+            return jnp.where(sel32, r32, r22[:, None] * e0)
 
-        return [
-            ResidualFamily(fam32, m32.astype(jnp.float32)),
-            ResidualFamily(fam22, m22.astype(jnp.float32)),
-        ]
+        return [ResidualFamily(fused_fn, w_rows)]
 
     x0 = jnp.concatenate([angles0, t0]).astype(jnp.float32)
     x = lm_solve(make_families, lambda x, d: x + d, x0, dim=6,

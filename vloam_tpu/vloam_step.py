@@ -316,80 +316,244 @@ def vo_frame_jit(
     return new_vstate, q_pr, t_pr, vo_ok, vo_out
 
 
+# ---- production two-program chunked engine ----
+#
+# Program 1 (vision+LO): per frame, vision core AND scanreg AND the f2f LO
+# solve interleaved in one lax.scan — so every VO solve is seeded from the
+# TRUE previous-frame LO f2f estimate (reference visual_odometry.cpp:
+# 269-281) and every LO solve from the same-frame VO prior (laser_odometry.
+# cpp:223-236), exactly the reference's per-frame coupling. The carried
+# state (feature slabs + poses + vision buffers, a few MB) aliases cleanly.
+# Round 3 ran vision and LOAM as two whole-chunk programs, which forced
+# intra-chunk VO solves onto stale/self-propagated seeds; in the low-match
+# regime that compounded (LO ATE 1.22 m engine vs 0.19 m host on a 24-frame
+# drive — see test_vloam_engine_long_combined_drive_matches_host).
+#
+# Program 2 (mapping): the scan-to-map stage alone, carrying the ~300 MB
+# cube-map state with in-place donation. Keeping the map OUT of program 1
+# is what preserves XLA's buffer aliasing (a single fused program copies
+# the map every frame; measured 60x slower — see vloam_run_chunk).
+
+
+class VisionLoState(NamedTuple):
+    vision: VisionState
+    corner_last: "RingSlab"
+    surf_last: "RingSlab"
+    q_f2f: jnp.ndarray  # [4] last LO frame-to-frame estimate
+    t_f2f: jnp.ndarray
+    q_w: jnp.ndarray  # [4] LO world pose (odom frame)
+    t_w: jnp.ndarray
+    frame_idx: jnp.ndarray
+
+    @staticmethod
+    def create(cfg: PipelineConfig) -> "VisionLoState":
+        from .lidar.ring_assoc import RingSlab
+
+        sr = cfg.scanreg
+        S = cfg.lidar.n_scans
+        return VisionLoState(
+            vision=VisionState.create(cfg),
+            corner_last=RingSlab.empty(S, sr.less_sharp_cap // S),
+            surf_last=RingSlab.empty(S, sr.less_flat_cap // S),
+            q_f2f=jnp.asarray([0, 0, 0, 1], jnp.float32),
+            t_f2f=jnp.zeros(3, jnp.float32),
+            q_w=jnp.asarray([0, 0, 0, 1], jnp.float32),
+            t_w=jnp.zeros(3, jnp.float32),
+            frame_idx=jnp.int32(0),
+        )
+
+
+class MapState(NamedTuple):
+    cube: "GridMap"
+    q_wmap_wodom: jnp.ndarray
+    t_wmap_wodom: jnp.ndarray
+    frame_idx: jnp.ndarray
+
+    @staticmethod
+    def create(cfg: PipelineConfig) -> "MapState":
+        from .lidar.mapping import GridMap
+
+        return MapState(
+            cube=GridMap.create(cfg.mapping),
+            q_wmap_wodom=jnp.asarray([0, 0, 0, 1], jnp.float32),
+            t_wmap_wodom=jnp.zeros(3, jnp.float32),
+            frame_idx=jnp.int32(0),
+        )
+
+
+def _vision_lo_frame(st: VisionLoState, grid_scan, grid_n, feats, image_u8,
+                     ext, cfg):
+    """One frame of program 1. grid_scan/grid_n feed the depth grid (may be
+    FOV-sliced in polar mode); feats are the frame's scanreg features.
+    Returns (st', out [25], stacks (c_xyz, c_m, s_xyz, s_m))."""
+    from .lidar.odometry import solve_lo
+    from .lidar.voxel import voxel_downsample
+
+    initialized = st.frame_idx > 0
+    a_seed, t_seed = _seed_from_lo_f2f(st.q_f2f, st.t_f2f, ext)
+    vst, q_pr, t_pr, vo_ok, vo_out, _, _ = _vision_frame_core(
+        st.vision, grid_scan, grid_n, image_u8, a_seed, t_seed, initialized,
+        ext, cfg)
+    use_prior = jnp.logical_and(jnp.logical_not(cfg.detach_VO_LO), vo_ok)
+    q0 = jnp.where(use_prior, q_pr, st.q_f2f)
+    t0 = jnp.where(use_prior, t_pr, st.t_f2f)
+
+    def do_lo(_):
+        return solve_lo(feats.sharp, feats.flat, st.corner_last,
+                        st.surf_last, q0, t0, cfg.lo)
+
+    def skip_lo(_):
+        return (jnp.asarray([0, 0, 0, 1], jnp.float32),
+                jnp.zeros(3, jnp.float32), jnp.int32(0), jnp.int32(0))
+
+    q, t, n_c, n_s = jax.lax.cond(initialized, do_lo, skip_lo, None)
+    q_w = jnp.where(initialized,
+                    so3.quat_normalize(so3.quat_multiply(st.q_w, q)), st.q_w)
+    t_w = jnp.where(initialized, st.t_w + so3.quat_rotate(st.q_w, t),
+                    st.t_w)
+
+    c_xyz, _, _, c_m = voxel_downsample(
+        feats.less_sharp.xyz, feats.less_sharp.mask,
+        cfg.mapping.line_resolution, cfg.mapping.corner_stack_cap)
+    s_xyz, _, _, s_m = voxel_downsample(
+        feats.less_flat.xyz, feats.less_flat.mask,
+        cfg.mapping.plane_resolution, cfg.mapping.surf_stack_cap)
+
+    new_st = VisionLoState(
+        vision=vst, corner_last=feats.less_sharp_slab,
+        surf_last=feats.less_flat_slab,
+        q_f2f=q, t_f2f=t, q_w=q_w, t_w=t_w, frame_idx=st.frame_idx + 1)
+    out = jnp.concatenate([
+        q, t, q_w, t_w,
+        jnp.asarray([n_c, n_s], jnp.float32), vo_out,
+    ]).astype(jnp.float32)  # [16 + 9]
+    return new_st, out, (c_xyz, c_m, s_xyz, s_m)
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def vision_run_chunk(
-    vstate: VisionState,
+def vision_lo_run_chunk(
+    vlstate: VisionLoState,
     scans: jnp.ndarray,  # [F, max_points, 3]
     n_pts: jnp.ndarray,  # [F]
     images_u8: jnp.ndarray,  # [F, H, W] uint8
-    q_lo_f2f: jnp.ndarray,  # [4] LO f2f at chunk entry (seed for frame 0)
-    t_lo_f2f: jnp.ndarray,  # [3]
-    first_initialized: jnp.ndarray,  # bool: is chunk frame 0 a non-first frame
     ext: CamExtrinsics,
     cfg: PipelineConfig,
 ):
-    """Vision half over F frames in ONE device program (lax.scan).
+    """Program 1 over F frames (xyz ingest). Returns
+    (state', out [F, 25], stacks 4-tuple of [F, ...])."""
+    from .lidar.scan_registration import register_scan
 
-    Intra-chunk seeding: the reference seeds each VO solve from the last LO
-    f2f estimate (visual_odometry.cpp:269-281), which is unavailable
-    mid-chunk (LOAM runs as the second program); frames after the first seed
-    from the previous frame's own VO estimate instead — an equally good LM
-    init (both approximate the same inter-frame motion; the solve converges
-    to the same optimum). Returns (vstate', prior_q [F,4], prior_t [F,3],
-    vo_ok [F], vo_out [F,9])."""
-    a0, t0 = _seed_from_lo_f2f(q_lo_f2f, t_lo_f2f, ext)
-
-    def body(carry, inp):
-        vst, a_seed, t_seed, initialized = carry
+    def body(st, inp):
         scan, n, img = inp
-        vst, q_pr, t_pr, vo_ok, vo_out, q_vo, t_vo = _vision_frame_core(
-            vst, scan, n, img, a_seed, t_seed, initialized, ext, cfg)
-        a_next = jnp.where(vo_ok, so3.axis_angle_from_quat(q_vo), a_seed)
-        t_next = jnp.where(vo_ok, t_vo, t_seed)
-        return ((vst, a_next, t_next, jnp.bool_(True)),
-                (q_pr, t_pr, vo_ok, vo_out))
+        feats = register_scan(scan, n, cfg.lidar, cfg.scanreg)
+        st, out, stacks = _vision_lo_frame(st, scan, n, feats, img, ext, cfg)
+        return st, (out, stacks)
 
-    (vstate, _, _, _), outs = jax.lax.scan(
-        body, (vstate, a0, t0, first_initialized), (scans, n_pts, images_u8))
-    return (vstate,) + outs
+    vlstate, (outs, stacks) = jax.lax.scan(
+        body, vlstate, (scans, n_pts, images_u8))
+    return vlstate, outs, stacks
 
 
 @partial(jax.jit, static_argnames=("cfg", "scale"), donate_argnums=(0,))
-def vision_run_chunk_polar(
-    vstate: VisionState,
-    ranges: jnp.ndarray,  # [F, S, A] uint16 quantized range images
-    elev_rad: jnp.ndarray,  # [S]
-    images_u8: jnp.ndarray,  # [F, H, W] uint8
-    q_lo_f2f: jnp.ndarray,
-    t_lo_f2f: jnp.ndarray,
-    first_initialized: jnp.ndarray,
+def vision_lo_run_chunk_polar(
+    vlstate: VisionLoState,
+    ranges: jnp.ndarray,  # [F, S, A] uint16
+    elev_rad: jnp.ndarray,
+    images_u8: jnp.ndarray,
     ext: CamExtrinsics,
     cfg: PipelineConfig,
     scale: float = 0.005,
 ):
-    """Polar-ingest vision chunk: the scan arrives as a quantized range
-    image (2 bytes/ray — the xyz upload dominated combined-mode wall
-    clock) and is decoded on device for the depth grid; invalid rays
-    decode to the origin and fail the projection front-filter."""
-    from .lidar.loam_step import polar_to_xyz
+    """Program 1, polar ingest: scanreg runs on the range image directly;
+    the depth grid decodes only the forward cfg.vo.polar_fov_fraction of
+    azimuth columns (rays outside the camera FOV never project; the
+    depth-grid scatter is linear in decoded rays)."""
+    from .lidar.loam_step import polar_to_xyz_cols
+    from .lidar.scan_registration import register_scan_polar
 
-    a0, t0 = _seed_from_lo_f2f(q_lo_f2f, t_lo_f2f, ext)
-    n_rays = jnp.int32(ranges.shape[1] * ranges.shape[2])
+    S, A = ranges.shape[1], ranges.shape[2]
+    frac = min(max(cfg.vo.polar_fov_fraction, 0.0), 1.0)
+    half = min(A, max(1, int(round(A * frac / 2.0))))
+    az_full = -jnp.arange(A, dtype=jnp.float32) * (2.0 * jnp.pi / A)
+    if 2 * half < A:
+        az = jnp.concatenate([az_full[:half], az_full[A - half:]])
+    else:
+        half = 0
+        az = az_full
+    n_rays = jnp.int32(S * az.shape[0])
 
-    def body(carry, inp):
-        vst, a_seed, t_seed, initialized = carry
+    def body(st, inp):
         r_img, img = inp
-        scan = polar_to_xyz(r_img, elev_rad, scale)
-        vst, q_pr, t_pr, vo_ok, vo_out, q_vo, t_vo = _vision_frame_core(
-            vst, scan, n_rays, img, a_seed, t_seed, initialized, ext, cfg)
-        a_next = jnp.where(vo_ok, so3.axis_angle_from_quat(q_vo), a_seed)
-        t_next = jnp.where(vo_ok, t_vo, t_seed)
-        return ((vst, a_next, t_next, jnp.bool_(True)),
-                (q_pr, t_pr, vo_ok, vo_out))
+        r_sel = (r_img if half == 0
+                 else jnp.concatenate([r_img[:, :half], r_img[:, A - half:]],
+                                      axis=1))
+        grid_scan = polar_to_xyz_cols(r_sel, elev_rad, az, scale)
+        feats = register_scan_polar(r_img, elev_rad, cfg.lidar, cfg.scanreg,
+                                    scale)
+        st, out, stacks = _vision_lo_frame(st, grid_scan, n_rays, feats,
+                                           img, ext, cfg)
+        return st, (out, stacks)
 
-    (vstate, _, _, _), outs = jax.lax.scan(
-        body, (vstate, a0, t0, first_initialized), (ranges, images_u8))
-    return (vstate,) + outs
+    vlstate, (outs, stacks) = jax.lax.scan(body, vlstate,
+                                           (ranges, images_u8))
+    return vlstate, outs, stacks
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def mapping_run_chunk(
+    mstate: MapState,
+    c_xyz: jnp.ndarray,  # [F, Cc, 3] voxel-downsampled corner stacks
+    c_m: jnp.ndarray,  # [F, Cc]
+    s_xyz: jnp.ndarray,  # [F, Cs, 3]
+    s_m: jnp.ndarray,  # [F, Cs]
+    q_w_lo: jnp.ndarray,  # [F, 4] LO world poses (odom frame)
+    t_w_lo: jnp.ndarray,  # [F, 3]
+    cfg: PipelineConfig,
+):
+    """Program 2: the scan-to-map stage alone over F frames (carries the
+    cube map with in-place donation). Returns (mstate', out [F, 8]):
+    out = [q_mo(4), t_mo(3), mapped]."""
+    from .lidar.mapping import solve_mapping
+
+    def body(mst, inp):
+        cx, cm, sx, sm, q_w, t_w = inp
+        q_pred = so3.quat_normalize(
+            so3.quat_multiply(mst.q_wmap_wodom, q_w))
+        t_pred = mst.t_wmap_wodom + so3.quat_rotate(mst.q_wmap_wodom, t_w)
+
+        def do_map(cube):
+            new_cube, q_m, t_m, _ = solve_mapping(
+                cube, cx, cm, sx, sm, q_pred, t_pred, cfg.mapping)
+            return new_cube, q_m, t_m
+
+        def skip_map(cube):
+            return cube, q_pred, t_pred
+
+        if cfg.lo.mapping_skip_frame == 1:
+            # static fast path: a lax.cond around the cube would copy it
+            mapped = jnp.bool_(True)
+            cube, q_m, t_m = do_map(mst.cube)
+        else:
+            mapped = (mst.frame_idx % cfg.lo.mapping_skip_frame) == 0
+            cube, q_m, t_m = jax.lax.cond(mapped, do_map, skip_map,
+                                          mst.cube)
+
+        q_off = so3.quat_normalize(
+            so3.quat_multiply(q_m, so3.quat_conjugate(q_w)))
+        t_off = t_m - so3.quat_rotate(q_off, t_w)
+        new_mst = MapState(
+            cube=cube,
+            q_wmap_wodom=jnp.where(mapped, q_off, mst.q_wmap_wodom),
+            t_wmap_wodom=jnp.where(mapped, t_off, mst.t_wmap_wodom),
+            frame_idx=mst.frame_idx + 1,
+        )
+        out = jnp.concatenate([
+            q_m, t_m, mapped.astype(jnp.float32)[None],
+        ]).astype(jnp.float32)
+        return new_mst, out
+
+    return jax.lax.scan(body, mstate, (c_xyz, c_m, s_xyz, s_m,
+                                       q_w_lo, t_w_lo))
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
@@ -416,17 +580,18 @@ def _fit_image(image: np.ndarray, vo_cfg) -> np.ndarray:
 class VloamEngine:
     """Host wrapper for the fused VLOAM pipeline (camera + lidar).
 
-    Runs two device programs per CHUNK of F frames — the vision chunk
-    (lax.scan over detect/describe/match/depth/VO, small state) and the
-    LOAM chunk (lax.scan over scanreg/LO/MO, large cube-map state) —
-    exchanging the VO->LO priors as [F]-shaped device arrays. Two programs
-    instead of one keeps the cube map's in-place buffer aliasing (a single
-    fused program copies the ~300 MB map every frame; see vloam_run_chunk);
-    two programs per CHUNK instead of per FRAME amortizes the ~30 ms/call
-    dispatch latency of the tunnel backend over F frames (per-frame
-    alternation capped the combined mode at ~2 fps regardless of device
-    speed). No per-frame host downloads; packed outputs are fetched in
-    finish()."""
+    Runs two device programs per CHUNK of F frames — the vision+LO chunk
+    (per-frame interleaved detect/describe/match/depth/VO/scanreg/LO with
+    the reference's exact seeding chain, small state) and the MAPPING
+    chunk (scan-to-map alone, large cube-map state) — exchanging the LO
+    world poses + voxel-downsampled stacks as [F]-shaped device arrays.
+    Two programs instead of one keeps the cube map's in-place buffer
+    aliasing (a single fused program copies the ~300 MB map every frame;
+    see vloam_run_chunk); two programs per CHUNK instead of per FRAME
+    amortizes the ~30 ms/call dispatch latency of the tunnel backend over
+    F frames (per-frame alternation capped the combined mode at ~2 fps
+    regardless of device speed). No per-frame host downloads; packed
+    outputs are fetched in finish()."""
 
     def __init__(self, cfg: PipelineConfig, calib, chunk: int = 8,
                  map_callback=None):
@@ -435,8 +600,8 @@ class VloamEngine:
         self.ext = CamExtrinsics.from_calib(calib)
         self.map_callback = map_callback
         self._next_pub = cfg.mapping.map_pub_number
-        self.vstate = VisionState.create(cfg)
-        self.lstate = LoamState.create(cfg)
+        self.vstate = VisionLoState.create(cfg)
+        self.lstate = MapState.create(cfg)
         self._outs = []  # device arrays [F, VLOAM_OUT_DIM]
         self._scans: list[np.ndarray] = []
         self._ns: list[int] = []
@@ -450,6 +615,17 @@ class VloamEngine:
     def state(self):
         """Pytree to block on (API compat with the old fused engine)."""
         return (self.vstate, self.lstate)
+
+    def _assemble(self, vl_out, mo_out):
+        """Pack the two programs' outputs into the VLOAM_OUT_DIM row
+        layout unpack_vloam_outputs expects."""
+        return jnp.concatenate([
+            vl_out[:, :14],          # q_f2f, t_f2f, q_w_lo, t_w_lo
+            mo_out[:, :7],           # q_mo, t_mo
+            vl_out[:, 14:16],        # n_corner, n_surf
+            mo_out[:, 7:8],          # mapped flag
+            vl_out[:, 16:25],        # vo_out (q_vo, t_vo, n32, n22)
+        ], axis=1)
 
     def push(self, points: np.ndarray, image: np.ndarray):
         from .data.synthetic import pad_scan
@@ -489,8 +665,6 @@ class VloamEngine:
             self._flush_polar()
 
     def _flush_polar(self):
-        from .lidar.loam_step import loam_run_chunk_polar
-
         f = len(self._polar)
         if f == 0:
             return
@@ -498,23 +672,18 @@ class VloamEngine:
         imgs = jnp.asarray(np.stack(self._imgs))
         self._polar, self._imgs = [], []
 
-        first_init = jnp.bool_(self._frame > 0)
-        self.vstate, q_pr, t_pr, vo_ok, vo_out = vision_run_chunk_polar(
-            self.vstate, ranges, self._elev, imgs, self.lstate.q_f2f,
-            self.lstate.t_f2f, first_init, self.ext, self.cfg,
+        self.vstate, vl_out, stacks = vision_lo_run_chunk_polar(
+            self.vstate, ranges, self._elev, imgs, self.ext, self.cfg,
             self._polar_scale)
-        use_prior = jnp.logical_and(
-            jnp.logical_not(self.cfg.detach_VO_LO), vo_ok)
-        self.lstate, loam_out = loam_run_chunk_polar(
-            self.lstate, ranges, self._elev, q_pr, t_pr, use_prior,
-            self.cfg, self._polar_scale)
-        self._outs.append(jnp.concatenate([loam_out, vo_out], axis=1))
+        c_xyz, c_m, s_xyz, s_m = stacks
+        self.lstate, mo_out = mapping_run_chunk(
+            self.lstate, c_xyz, c_m, s_xyz, s_m,
+            vl_out[:, 7:11], vl_out[:, 11:14], self.cfg)
+        self._outs.append(self._assemble(vl_out, mo_out))
         self._frame += f
         self._maybe_publish_map()
 
     def _flush(self):
-        from .lidar.loam_step import loam_run_chunk, loam_run_chunk_dyn
-
         f = len(self._scans)
         if f == 0:
             return
@@ -523,16 +692,13 @@ class VloamEngine:
         imgs = jnp.asarray(np.stack(self._imgs))
         self._scans, self._ns, self._imgs = [], [], []
 
-        first_init = jnp.bool_(self._frame > 0)
-        self.vstate, q_pr, t_pr, vo_ok, vo_out = vision_run_chunk(
-            self.vstate, scans, ns, imgs, self.lstate.q_f2f,
-            self.lstate.t_f2f, first_init, self.ext, self.cfg)
-        use_prior = jnp.logical_and(
-            jnp.logical_not(self.cfg.detach_VO_LO), vo_ok)
-        run = loam_run_chunk if f == self.chunk else loam_run_chunk_dyn
-        self.lstate, loam_out = run(self.lstate, scans, ns, q_pr, t_pr,
-                                    use_prior, self.cfg)
-        self._outs.append(jnp.concatenate([loam_out, vo_out], axis=1))
+        self.vstate, vl_out, stacks = vision_lo_run_chunk(
+            self.vstate, scans, ns, imgs, self.ext, self.cfg)
+        c_xyz, c_m, s_xyz, s_m = stacks
+        self.lstate, mo_out = mapping_run_chunk(
+            self.lstate, c_xyz, c_m, s_xyz, s_m,
+            vl_out[:, 7:11], vl_out[:, 11:14], self.cfg)
+        self._outs.append(self._assemble(vl_out, mo_out))
         self._frame += f
         self._maybe_publish_map()
 
