@@ -1,12 +1,13 @@
-"""Fused device-resident FULL VLOAM step: VO + LO + MO in one jit call.
+"""Fused device-resident FULL VLOAM engine (camera + lidar), two device
+programs per chunk of F frames:
 
-Extends lidar.loam_step with the visual-odometry front-end so the complete
-reference callback (vloam_main_node.cpp:125-180) runs as a single device
-program per frame, scanned over chunks:
-
-  detect/describe (S1) -> depth grid (S3) -> VO solve seeded from last LO
-  f2f (S4, visual_odometry.cpp:269-281) -> scan registration + LO seeded
-  from VO when combined (laser_odometry.cpp:223-236) -> mapping (S5).
+  program 1 (vision+LO, lax.scan per frame): detect/describe (S1) ->
+  depth grid (S3) -> VO solve seeded from the previous frame's LO f2f
+  (S4, visual_odometry.cpp:269-281) -> scan registration -> f2f LO seeded
+  from the same-frame VO when combined (laser_odometry.cpp:223-236),
+  program 2 (mapping, lax.scan per frame): scan-to-map refinement (S5)
+  over the chunk's voxel-downsampled stacks + LO world poses, carrying
+  the cube map with in-place donation.
 
 The VO<->LO coupling transforms (vloam_tf.cpp:59-75, laser_odometry.cpp:
 563-570) are carried on device as quaternion Pose algebra; only packed pose
@@ -24,7 +25,6 @@ import numpy as np
 
 from .config import PipelineConfig
 from .geometry import so3
-from .lidar.loam_step import LoamState, loam_frame_step
 from .vision import features
 from .vision.depth_map import DepthGrid, build_depth_grid, grid_shape
 from .vision.optical_flow import lk_flow
@@ -79,8 +79,13 @@ def _conjugate(q_a, t_a, q_x, t_x):
     return _compose(q1, t1, q_a, t_a)
 
 
-class VloamState(NamedTuple):
-    loam: LoamState
+# (a single-program whole-VLOAM chunk — vision AND mapping in one lax.scan
+# — was removed in round 4: XLA fails to alias the cube-map scan carry once
+# the vision graph is fused in, copying ~300 MB per frame, measured ~60x
+# slower than the two-program engine below)
+
+
+class VisionState(NamedTuple):
     prev_kp: jnp.ndarray  # [K, 2]
     prev_kp_mask: jnp.ndarray  # [K]
     prev_desc: jnp.ndarray  # [K, P*P]
@@ -88,12 +93,11 @@ class VloamState(NamedTuple):
     prev_grid: DepthGrid
 
     @staticmethod
-    def create(cfg: PipelineConfig) -> "VloamState":
+    def create(cfg: PipelineConfig) -> "VisionState":
         k = cfg.vo.max_keypoints
         p = cfg.vo.descriptor_patch
         gw, gh = grid_shape(cfg.vo)
-        return VloamState(
-            loam=LoamState.create(cfg),
+        return VisionState(
             prev_kp=jnp.zeros((k, 2), jnp.float32),
             prev_kp_mask=jnp.zeros((k,), bool),
             prev_desc=jnp.zeros((k, p * p), jnp.float32),
@@ -106,120 +110,6 @@ class VloamState(NamedTuple):
                 cnt=jnp.zeros((gw, gh), jnp.int32),
             ),
         )
-
-
-def vloam_frame_step(
-    state: VloamState,
-    scan: jnp.ndarray,  # [max_points, 3]
-    n_pts: jnp.ndarray,
-    image_u8: jnp.ndarray,  # [H, W] uint8
-    ext: CamExtrinsics,
-    cfg: PipelineConfig,
-):
-    """Returns (new_state, out [VLOAM_OUT_DIM]):
-    out = [loam_out(24), vo_q(4), vo_t(3), n32, n22]."""
-    img = image_u8.astype(jnp.float32) / 255.0
-    if cfg.vo.clahe:
-        img = features.clahe(img)
-    initialized = state.loam.frame_idx > 0
-
-    # S1: features
-    xy, score, kp_mask = features.detect_keypoints(img, cfg.vo)
-    if cfg.vo.keypoint_nms:
-        kp_mask = features.bucket_nms(
-            xy, score, kp_mask, cfg.vo.img_width, cfg.vo.img_height,
-            cfg.vo.nms_bucket, cfg.vo.nms_bucket, cfg.vo.nms_max_total)
-    desc = features.describe_keypoints(img, xy, cfg.vo)
-
-    # S3: depth grid of the current frame
-    in_mask = jnp.arange(scan.shape[0]) < n_pts
-    grid = build_depth_grid(scan, in_mask, ext.P_velo_to_img, cfg.vo)
-
-    # S4: VO solve (prev -> curr), seeded from last LO f2f
-    # cam0_curr_LOT_cam0_prev = base_T_cam0^-1 * (T_lo_f2f)^-1 * base_T_cam0
-    q_lo_i, t_lo_i = _invert(state.loam.q_f2f, state.loam.t_f2f)
-    q_seed, t_seed = _conjugate(ext.q_base_cam, ext.t_base_cam, q_lo_i, t_lo_i)
-    a_seed = so3.axis_angle_from_quat(q_seed)
-    if cfg.vo.reset_VO_to_identity:
-        a_seed = jnp.zeros(3, jnp.float32)
-        t_seed = jnp.zeros(3, jnp.float32)
-
-    if cfg.vo.optical_flow_match:
-        xy1, status = lk_flow(state.prev_img, img, state.prev_kp, cfg.vo)
-        prev_uv, curr_uv = state.prev_kp, xy1
-        valid = state.prev_kp_mask & status
-    else:
-        idx1, ok = features.match_descriptors(
-            state.prev_desc, state.prev_kp_mask, desc, kp_mask,
-            cfg.vo.match_ratio, matcher=cfg.vo.matcher,
-            select=cfg.vo.match_select)
-        prev_uv = state.prev_kp
-        curr_uv = xy[idx1]
-        valid = ok
-    valid = valid & initialized
-
-    angles, t_vo, n32, n22 = solve_vo(
-        prev_uv, curr_uv, valid, state.prev_grid, ext.K,
-        a_seed.astype(jnp.float32), t_seed.astype(jnp.float32), cfg.vo)
-    q_vo = so3.quat_from_axis_angle(angles)
-    vo_ok = (initialized & jnp.all(jnp.isfinite(angles))
-             & jnp.all(jnp.isfinite(t_vo))
-             & (n32 + n22 >= cfg.vo.min_vo_matches))
-    q_vo = jnp.where(vo_ok, q_vo, jnp.asarray([0, 0, 0, 1], jnp.float32))
-    t_vo = jnp.where(vo_ok, t_vo, jnp.zeros(3, jnp.float32))
-
-    # VO -> LO prior: velo_last_VOT_velo_curr =
-    #   velo_T_cam0 * (cam0_curr_T_cam0_last)^-1 * velo_T_cam0^-1
-    q_vo_i, t_vo_i = _invert(q_vo, t_vo)
-    qv_i, tv_i = _invert(ext.q_velo_cam, ext.t_velo_cam)
-    q_pr, t_pr = _conjugate(qv_i, tv_i, q_vo_i, t_vo_i)
-    use_prior = jnp.logical_and(jnp.logical_not(cfg.detach_VO_LO),
-                                vo_ok)
-
-    loam_state, loam_out = loam_frame_step(
-        state.loam, scan, n_pts, q_pr, t_pr, use_prior, cfg)
-
-    new_state = VloamState(
-        loam=loam_state,
-        prev_kp=xy,
-        prev_kp_mask=kp_mask,
-        prev_desc=desc,
-        prev_img=img,
-        prev_grid=grid,
-    )
-    out = jnp.concatenate([
-        loam_out, q_vo, t_vo,
-        jnp.asarray([n32, n22], jnp.float32),
-    ])
-    return new_state, out
-
-
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def vloam_run_chunk(state, scans, n_pts, images_u8, ext, cfg):
-    """Single-program chunk (kept for reference/tests). NOTE: measured ~60x
-    slower than the split path on TPU — XLA fails to alias the cube-map scan
-    carry once the vision graph is fused in, copying ~300 MB per frame. Use
-    VloamEngine (vision jit + LOAM jit alternation) for production."""
-
-    def body(st, inp):
-        scan, n, img = inp
-        return vloam_frame_step(st, scan, n, img, ext, cfg)
-
-    return jax.lax.scan(body, state, (scans, n_pts, images_u8))
-
-
-class VisionState(NamedTuple):
-    prev_kp: jnp.ndarray
-    prev_kp_mask: jnp.ndarray
-    prev_desc: jnp.ndarray
-    prev_img: jnp.ndarray
-    prev_grid: DepthGrid
-
-    @staticmethod
-    def create(cfg: PipelineConfig) -> "VisionState":
-        s = VloamState.create(cfg)
-        return VisionState(s.prev_kp, s.prev_kp_mask, s.prev_desc,
-                           s.prev_img, s.prev_grid)
 
 
 def _vision_frame_core(
@@ -295,25 +185,6 @@ def _seed_from_lo_f2f(q_lo_f2f, t_lo_f2f, ext):
     q_seed, t_seed = _conjugate(ext.q_base_cam, ext.t_base_cam, q_lo_i, t_lo_i)
     return so3.axis_angle_from_quat(q_seed), t_seed
 
-
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def vo_frame_jit(
-    vstate: VisionState,
-    scan: jnp.ndarray,
-    n_pts: jnp.ndarray,
-    image_u8: jnp.ndarray,
-    q_lo_f2f: jnp.ndarray,  # previous LO f2f (velo frame) for seeding
-    t_lo_f2f: jnp.ndarray,
-    initialized: jnp.ndarray,  # bool
-    ext: CamExtrinsics,
-    cfg: PipelineConfig,
-):
-    """Vision half of the VLOAM frame: detect/describe/match + depth grid +
-    VO solve. Returns (vstate', prior_q, prior_t, vo_ok, vo_out [9])."""
-    a_seed, t_seed = _seed_from_lo_f2f(q_lo_f2f, t_lo_f2f, ext)
-    new_vstate, q_pr, t_pr, vo_ok, vo_out, _, _ = _vision_frame_core(
-        vstate, scan, n_pts, image_u8, a_seed, t_seed, initialized, ext, cfg)
-    return new_vstate, q_pr, t_pr, vo_ok, vo_out
 
 
 # ---- production two-program chunked engine ----
@@ -554,13 +425,6 @@ def mapping_run_chunk(
 
     return jax.lax.scan(body, mstate, (c_xyz, c_m, s_xyz, s_m,
                                        q_w_lo, t_w_lo))
-
-
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def loam_frame_jit(state: LoamState, scan, n_pts, prior_q, prior_t,
-                   use_prior, cfg: PipelineConfig):
-    return loam_frame_step(state, scan, n_pts, prior_q, prior_t, use_prior,
-                           cfg)
 
 
 def _fit_image(image: np.ndarray, vo_cfg) -> np.ndarray:
