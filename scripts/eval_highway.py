@@ -150,7 +150,15 @@ def main(n_frames=80):
             f"{row['vo_gate_fired']} | {fmt(vo, 't_rel_percent')} | "
             f"{fmt(vo, 'ate_rmse_m')} | {fmt(mo, 't_rel_percent')} | "
             f"{fmt(mo, 'ate_rmse_m')} |")
-    lines.append("")
+    lines += [
+        "",
+        "With guards on, the VO STREAM is (correctly) reported as unusable "
+        "— the min_vo_matches gate rejects every frame's solve, so LO/MO "
+        "never consume it and stay healthy (the reference's own VO row on "
+        "seq 01 is 50.5%). With the gate disabled, the garbage VO seeds "
+        "poison LO and MO exactly as the reference's coupled mode does.",
+        "",
+    ]
     with open(out, "a") as f:
         f.write("\n".join(lines))
     print(f"appended highway table to {out}")

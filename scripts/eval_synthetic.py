@@ -128,28 +128,39 @@ def main(n_frames=100):
     results["combined/fps"] = res_c2["fps"]
 
     out = Path(__file__).resolve().parents[1] / "RESULTS.md"
-    with open(out, "w") as f:
-        f.write("# Synthetic-drive evaluation (no KITTI data in this env)\n\n")
-        f.write(f"{n_frames} frames, HDL-64 profile (~110k pts/frame), "
+    head = ["# Synthetic-drive evaluation (no KITTI data in this env)\n\n"]
+    head.append(f"{n_frames} frames, HDL-64 profile (~110k pts/frame), "
                 "synthetic urban world with exact ground truth; metrics are "
                 "KITTI-devkit style (translational %, rotational deg/m over "
                 "100-800 m subsequences) plus ATE.\n\n")
-        f.write("| run | t_rel % | r deg/m | ATE rmse m | fps (steady, chip) |\n")
-        f.write("|-----|---------|---------|------------|-----|\n")
-        for key, m in results.items():
-            if key.endswith("fps"):
-                continue
-            fps = results.get(key.split("/")[0] + "/fps", 0)
-            f.write(f"| {key} | {m['t_rel_percent']:.3f} | "
+    head.append("| run | t_rel % | r deg/m | ATE rmse m | "
+                "fps (steady, chip) |\n")
+    head.append("|-----|---------|---------|------------|-----|\n")
+    for key, m in results.items():
+        if key.endswith("fps"):
+            continue
+        fps = results.get(key.split("/")[0] + "/fps", 0)
+        head.append(f"| {key} | {m['t_rel_percent']:.3f} | "
                     f"{m['r_deg_per_m']:.4f} | {m['ate_rmse_m']:.3f} | "
                     f"{fps:.1f} |\n")
-        f.write("\nfps = end-to-end second run on the single real TPU chip "
+    head.append("\nfps = end-to-end second run on the single real TPU chip "
                 "(engine re-created, compile cached): includes host staging, "
                 "upload, device compute, download, f64 export. The headline "
                 "steady-state device rate is bench.py's (see BENCH_r*.json); "
                 "first-run numbers incl. compile are printed in the eval "
                 "log.\n")
-    print("wrote", out)
+    # PRESERVE every other section: this script owns only the text before
+    # the first "## " heading. A whole-file overwrite here is exactly how
+    # round 3 silently lost the loop-closure / long-drive / batch tables
+    # (VERDICT r3 weak 1).
+    tail = ""
+    if out.exists():
+        old = out.read_text()
+        idx = old.find("\n## ")
+        if idx >= 0:
+            tail = old[idx:]
+    out.write_text("".join(head) + tail)
+    print("wrote", out, "(preserved", tail.count("\n## "), "sections)")
     json.dump(results, open(golden_dir / "synthetic_metrics.json", "w"),
               indent=1)
 

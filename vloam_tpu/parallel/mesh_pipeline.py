@@ -32,6 +32,17 @@ trajectories agree to float accumulation order.
 
 Reference semantics being distributed: laser_mapping.cpp:458-626 (the
 scan-to-map Ceres solve); the reference is single-threaded.
+
+Scaling note: the ring k-NN sweeps each device's scan shard against every
+visiting map shard, so per-device work is O(scan/D x map-slots) per hop x
+D hops = O(scan x map-slots / D): compute scales 1/D with device count,
+map MEMORY 1/D, and the single-device grid's 8-cell probe (O(scan x
+8 cap)) is traded for dense MXU-friendly distance tiles. For maps much
+larger than the active neighborhood, pre-restricting the flat view to a
+window around the pose (a top-k compaction of grid_flat_points by
+distance) would bound the sweep; at the reference's window extent
+(21x21x11 50 m cubes, eviction already bounds live points) the flat view
+IS the active window.
 """
 
 from __future__ import annotations
