@@ -21,7 +21,7 @@ from vloam_tpu.pipeline import run_sequence_fused
 CACHE = Path("/tmp/vloam_synth_cache")
 
 
-def build_frames(n_frames, with_cam, cfg):
+def build_frames(n_frames, with_cam, cfg, with_polar=False):
     scene = synthetic.urban_scene(0, extent=160.0, n_boxes=36, n_poles=48,
                                   scatter=24)
     K, P_rect0, cam_T_velo, velo_T_cam = synthetic.default_cam_calib(
@@ -52,19 +52,30 @@ def build_frames(n_frames, with_cam, cfg):
         tag = f"{world_tag}_f{k}_{int(with_cam)}_{cfg.vo.img_width}"
         cpath = CACHE / f"{tag}.npz"
         if cpath.exists():
-            data = np.load(cpath)
+            data = dict(np.load(cpath))
             f = {"points": data["points"]}
             if with_cam:
                 f["image"] = data["image"]
         else:
-            f = {"points": synthetic.simulate_scan(scene, T, n_scans=64,
-                                                   n_azimuth=1800, noise=0.01,
-                                                   seed=k)}
+            data = {"points": synthetic.simulate_scan(scene, T, n_scans=64,
+                                                      n_azimuth=1800,
+                                                      noise=0.01, seed=k)}
             if with_cam:
-                f["image"] = synthetic.render_camera(scene, T @ velo_T_cam, K,
-                                                     cfg.vo.img_width,
-                                                     cfg.vo.img_height)
-            np.savez(cpath, **f)
+                data["image"] = synthetic.render_camera(
+                    scene, T @ velo_T_cam, K, cfg.vo.img_width,
+                    cfg.vo.img_height)
+            np.savez(cpath, **data)
+            f = dict(data)
+        if with_polar:
+            # polar (range-image) twin of the same pose: the production
+            # smallest-upload ingest; cached alongside, generated lazily
+            if "polar" not in data:
+                data["polar"] = synthetic.simulate_scan_polar(
+                    scene, T, n_scans=64, n_azimuth=1800, noise=0.01,
+                    seed=k)
+                np.savez(cpath, **data)
+            f["polar"] = data["polar"]
+            f.pop("points", None)  # run_sequence_fused prefers 'polar'
         frames.append(f)
         if k % 10 == 0:
             print(f"frame {k} gen t={time.time()-t0:.0f}s", flush=True)
@@ -126,6 +137,32 @@ def main(n_frames=100):
     print(f"combined: first-run {res_c['fps']:.1f} fps (wall {wall:.1f}s "
           f"incl. compile), steady {res_c2['fps']:.1f} fps")
     results["combined/fps"] = res_c2["fps"]
+
+    # ---- polar (range-image) ingest: the production smallest-upload
+    # path, accuracy + end-to-end fps rows next to the xyz-ingest ones ----
+    cfg = kitti_hdl64()
+    calib, frames, gt = build_frames(n_frames, with_cam=False, cfg=cfg,
+                                     with_polar=True)
+    res_p = run_sequence_fused(cfg, calib, iter(frames), lidar_only=True,
+                               chunk=10)
+    res_p2 = run_sequence_fused(cfg, calib, iter(frames), lidar_only=True,
+                                chunk=10)
+    m = kitti_metrics(gt, res_p["MO"], step=1)
+    results["lidar_only_polar/MO"] = m
+    results["lidar_only_polar/fps"] = res_p2["fps"]
+    print("polar MO", json.dumps(m), f"steady {res_p2['fps']:.1f} fps")
+
+    cfg_c = kitti_hdl64().replace(detach_VO_LO=False)
+    calib, frames, gt = build_frames(n_frames, with_cam=True, cfg=cfg_c,
+                                     with_polar=True)
+    res_cp = run_sequence_fused(cfg_c, calib, iter(frames), chunk=10)
+    res_cp2 = run_sequence_fused(cfg_c, calib, iter(frames), chunk=10)
+    for which in ("VO", "MO"):
+        m = kitti_metrics(gt, res_cp[which], step=1)
+        results[f"combined_polar/{which}"] = m
+        print("combined polar", which, json.dumps(m))
+    results["combined_polar/fps"] = res_cp2["fps"]
+    print(f"combined polar steady {res_cp2['fps']:.1f} fps")
 
     out = Path(__file__).resolve().parents[1] / "RESULTS.md"
     head = ["# Synthetic-drive evaluation (no KITTI data in this env)\n\n"]
