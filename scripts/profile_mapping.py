@@ -118,8 +118,8 @@ def main():
         stacks = (c_xyz, c_m, s_xyz, s_m, q0, t0v)
 
     c_xyz, c_m, s_xyz, s_m, q0, t0v = stacks
-    print(f"map corners={int(jnp.sum(cube.corner.cnt))} "
-          f"surfs={int(jnp.sum(cube.surf.cnt))} "
+    print(f"map corners={int(cube.corner.n_live)} "
+          f"surfs={int(cube.surf.n_live)} "
           f"stack c={int(jnp.sum(c_m))} s={int(jnp.sum(s_m))}", flush=True)
 
     x0 = jnp.concatenate([q0, t0v])

@@ -49,7 +49,8 @@ def test_export_map_points():
         pts = grid.pts
         for block in range(3):
             pts = pts.at[bucket, block * cap:block * cap + n].set(val)
-        return grid._replace(pts=pts, cnt=grid.cnt.at[bucket].set(n))
+        return grid._replace(pts=pts,
+                             n_live=grid.n_live + jnp.int32(n))
 
     gm = gm._replace(
         corner=fill(gm.corner, 3, 5, 1.5),

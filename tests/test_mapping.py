@@ -41,14 +41,14 @@ def test_grid_insert_dedups_by_voxel():
     rng = np.random.default_rng(0)
     pts = rng.uniform(-20, 20, (256, 3)).astype(np.float32)
     g = grid_insert(g, jnp.asarray(pts), jnp.ones(256, bool), 2.0, 0.4)
-    n1 = int(jnp.sum(g.cnt))
+    n1 = int(g.n_live)
     assert n1 > 200  # nearly all inserted (random points rarely share voxels)
     # re-inserting the same points must be a no-op (every voxel occupied)
     g2 = grid_insert(g, jnp.asarray(pts), jnp.ones(256, bool), 2.0, 0.4)
-    assert int(jnp.sum(g2.cnt)) == n1
+    assert int(g2.n_live) == n1
     # a jittered copy within the same voxels is also deduped
     g3 = grid_insert(g, jnp.asarray(pts + 0.01), jnp.ones(256, bool), 2.0, 0.4)
-    assert int(jnp.sum(g3.cnt)) <= n1 + 50  # only boundary-straddlers add
+    assert int(g3.n_live) <= n1 + 50  # only boundary-straddlers add
 
 
 def test_grid_knn_exact_within_radius():
@@ -74,7 +74,7 @@ def test_grid_evict_keeps_box_and_compacts():
     g = grid_create(1 << 10, 4)
     g = grid_insert(g, jnp.asarray(pts), jnp.ones(5, bool), 2.0, 0.4)
     g2 = grid_evict(g, jnp.zeros(3), jnp.asarray([10.0, 10.0, 10.0]))
-    assert int(jnp.sum(g2.cnt)) == 3
+    assert int(g2.n_live) == 3
     cap = g2.cap
     live = np.asarray(g2.pts).reshape(-1, 3, cap).transpose(0, 2, 1).reshape(-1, 3)
     live = live[live[:, 0] < SENTINEL * 0.5]
@@ -82,7 +82,7 @@ def test_grid_evict_keeps_box_and_compacts():
     # holes left by eviction are refilled by later inserts (no overflow)
     refill = np.array([[0.9, 0.2, 0.1], [28.9, 0.1, 0.2]], np.float32)
     g3 = grid_insert(g2, jnp.asarray(refill), jnp.ones(2, bool), 2.0, 0.4)
-    assert int(jnp.sum(g3.cnt)) == 5
+    assert int(g3.n_live) == 5
     live3 = np.asarray(g3.pts).reshape(-1, 3, cap).transpose(0, 2, 1).reshape(-1, 3)
     live3 = live3[live3[:, 0] < SENTINEL * 0.5]
     assert len(live3) == 5
@@ -110,8 +110,8 @@ def test_mapping_improves_or_tracks_lo():
     assert bool(mo.last_stats["solved"])
     assert mo_err < max(2.0 * lo_err, 0.3), (mo_err, lo_err)
     # the grid map should be populated around the vehicle
-    assert int(jnp.sum(mo.map.corner.cnt)) > 100
-    assert int(jnp.sum(mo.map.surf.cnt)) > 500
+    assert int(mo.map.corner.n_live) > 100
+    assert int(mo.map.surf.n_live) > 500
 
 
 def test_mapping_solve_corrects_perturbed_prediction():

@@ -149,10 +149,10 @@ def test_mesh_laser_mapping_map_stays_in_lockstep():
         mo_mesh.step(feats.less_sharp, feats.less_flat,
                      lo_out["q_w"], lo_out["t_w"],
                      skip_frame=lo_out["skip_frame"])
-    n_c_single = int(jnp.sum(mo_single.map.corner.cnt))
-    n_c_mesh = int(jnp.sum(mo_mesh.map.corner.cnt))
-    n_s_single = int(jnp.sum(mo_single.map.surf.cnt))
-    n_s_mesh = int(jnp.sum(mo_mesh.map.surf.cnt))
+    n_c_single = int(mo_single.map.corner.n_live)
+    n_c_mesh = int(mo_mesh.map.corner.n_live)
+    n_s_single = int(mo_single.map.surf.n_live)
+    n_s_mesh = int(mo_mesh.map.surf.n_live)
     assert n_c_single > 0 and n_s_single > 0
     assert abs(n_c_mesh - n_c_single) <= max(2, n_c_single // 100)
     assert abs(n_s_mesh - n_s_single) <= max(2, n_s_single // 100)

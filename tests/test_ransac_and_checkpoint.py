@@ -46,13 +46,13 @@ def test_checkpoint_roundtrip(tmp_path):
                      frame_idx=jnp.int32(7))
     st = st._replace(cube=st.cube._replace(
         corner=st.cube.corner._replace(
-            cnt=st.cube.corner.cnt.at[5].set(11))))
+            n_live=jnp.int32(11))))
     p = str(tmp_path / "state.npz")
     save_state(p, st)
     st2 = load_state(p, LoamState.create(cfg))
     np.testing.assert_allclose(np.asarray(st2.t_w), [1, 2, 3])
     assert int(st2.frame_idx) == 7
-    assert int(st2.cube.corner.cnt[5]) == 11
+    assert int(st2.cube.corner.n_live) == 11
     # structural mismatch is rejected
     import pytest
 

@@ -61,9 +61,11 @@ def _hash_cell(ix, iy, iz, n_buckets):
 
 
 class FeatureGrid(NamedTuple):
-    """One feature class's map: SENTINEL-padded bucket rows + live counts.
-    Slots are not kept contiguous (evict leaves holes; insert fills them);
-    `cnt` is the number of live points per bucket, used only for stats.
+    """One feature class's map: SENTINEL-padded bucket rows + a global live
+    count. Slots are not kept contiguous (evict leaves holes; insert fills
+    them); `n_live` is the total number of live points, used only for the
+    'enough map' gates and stats (a per-bucket count array would cost two
+    O(n_buckets) bincount scatters per insert just to maintain).
 
     Row layout is INTERLEAVED: row b = [x_0..x_cap | y_0..y_cap | z_0..z_cap]
     so one row gather fetches all three coordinate planes of a bucket. The
@@ -72,7 +74,7 @@ class FeatureGrid(NamedTuple):
     planar [3, nb, cap] layout's 24 by ~3x (scripts/profile_gather.py)."""
 
     pts: jnp.ndarray  # [n_buckets, 3*cap] f32 interleaved x|y|z blocks
-    cnt: jnp.ndarray  # [n_buckets] int32
+    n_live: jnp.ndarray  # [] int32 total live points
 
     @property
     def cap(self) -> int:
@@ -82,7 +84,7 @@ class FeatureGrid(NamedTuple):
 def grid_create(n_buckets: int, cap: int) -> FeatureGrid:
     return FeatureGrid(
         pts=jnp.full((n_buckets, 3 * cap), SENTINEL, jnp.float32),
-        cnt=jnp.zeros((n_buckets,), jnp.int32),
+        n_live=jnp.int32(0),
     )
 
 
@@ -111,12 +113,13 @@ def grid_insert(g: FeatureGrid, p: jnp.ndarray, mask: jnp.ndarray,
     key = jnp.where(keep, b, nb)
     order = jnp.argsort(key)  # stable
     ks = key[order]
-    counts = jnp.bincount(ks, length=nb + 1)[:nb]
-    starts = jnp.concatenate([
-        jnp.zeros((1,), jnp.int32),
-        jnp.cumsum(counts).astype(jnp.int32)[:-1],
-    ])
-    rank = jnp.arange(B, dtype=jnp.int32) - starts[jnp.minimum(ks, nb - 1)]
+    # within-bucket rank straight from the sorted keys (segment starts via
+    # cummax over boundary positions) — O(frame); the previous
+    # bincount/cumsum-over-buckets form cost two O(n_buckets) passes
+    idx = jnp.arange(B, dtype=jnp.int32)
+    boundary = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(boundary, idx, -1))
+    rank = idx - seg_start
     # destination = (rank+1)-th FREE slot of the bucket row. Buckets may
     # have holes (grid_evict only marks sentinels, never compacts — O(map)
     # compaction costs ~100 ms; this per-row scan is O(frame)).
@@ -128,8 +131,8 @@ def grid_insert(g: FeatureGrid, p: jnp.ndarray, mask: jnp.ndarray,
     dest_b = jnp.where(ok, ks, nb)  # nb = out of bounds -> dropped
     cols = jnp.stack([pos, pos + cap, pos + 2 * cap], axis=1)  # [B, 3]
     pts = g.pts.at[dest_b[:, None], cols].set(p[order], mode="drop")
-    added = jnp.bincount(jnp.where(ok, ks, nb), length=nb + 1)[:nb]
-    return FeatureGrid(pts=pts, cnt=g.cnt + added.astype(jnp.int32))
+    return FeatureGrid(pts=pts,
+                       n_live=g.n_live + jnp.sum(ok, dtype=jnp.int32))
 
 
 @jax.jit
@@ -147,7 +150,7 @@ def grid_evict(g: FeatureGrid, center: jnp.ndarray,
         axis=1)  # [nb, cap]
     keep = live & inside
     pts = jnp.where(keep[:, None, :], xyz, SENTINEL).reshape(-1, 3 * cap)
-    return FeatureGrid(pts=pts, cnt=jnp.sum(keep, axis=1).astype(jnp.int32))
+    return FeatureGrid(pts=pts, n_live=jnp.sum(keep, dtype=jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("cell",))

@@ -137,8 +137,8 @@ def solve_mapping(
     cfg: LaserMappingConfig,
 ):
     """One mapping solve + map update. Returns (new_map, q_w, t_w, stats)."""
-    n_map_corner = jnp.sum(grid_map.corner.cnt)
-    n_map_surf = jnp.sum(grid_map.surf.cnt)
+    n_map_corner = grid_map.corner.n_live
+    n_map_surf = grid_map.surf.n_live
     x0 = jnp.concatenate([q_pred, t_pred]).astype(jnp.float32)
     enough = (n_map_corner > cfg.min_corner_map_points) & (
         n_map_surf > cfg.min_surf_map_points

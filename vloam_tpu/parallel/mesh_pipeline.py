@@ -75,8 +75,8 @@ def mesh_solve_mapping(
     """One mapping solve + map update with the pose refinement distributed
     over `mesh`. Same contract as mapping.solve_mapping: returns
     (new_map, q_w, t_w, stats)."""
-    n_map_corner = int(jnp.sum(grid_map.corner.cnt))
-    n_map_surf = int(jnp.sum(grid_map.surf.cnt))
+    n_map_corner = int(grid_map.corner.n_live)
+    n_map_surf = int(grid_map.surf.n_live)
     x0 = jnp.concatenate([jnp.asarray(q_pred, jnp.float32),
                           jnp.asarray(t_pred, jnp.float32)])
     enough = (n_map_corner > cfg.min_corner_map_points
