@@ -1,7 +1,7 @@
 """Checkpoint / resume for device-resident pipeline state.
 
 The reference has no checkpointing (SURVEY.md §5: the map lives only in
-RAM; a crash restarts the whole drive). Here the full LoamState/VloamState
+RAM; a crash restarts the whole drive). Here the full LoamState/VisionLoState/MapState
 pytree (cube map, feature clouds, pose chain) can be saved to an .npz and
 restored, so long runs survive interruption and maps can be reused across
 sessions.

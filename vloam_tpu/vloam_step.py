@@ -203,7 +203,7 @@ def _seed_from_lo_f2f(q_lo_f2f, t_lo_f2f, ext):
 # Program 2 (mapping): the scan-to-map stage alone, carrying the ~300 MB
 # cube-map state with in-place donation. Keeping the map OUT of program 1
 # is what preserves XLA's buffer aliasing (a single fused program copies
-# the map every frame; measured 60x slower — see vloam_run_chunk).
+# the map every frame; measured 60x slower before removal in round 4).
 
 
 class VisionLoState(NamedTuple):
@@ -451,7 +451,7 @@ class VloamEngine:
     world poses + voxel-downsampled stacks as [F]-shaped device arrays.
     Two programs instead of one keeps the cube map's in-place buffer
     aliasing (a single fused program copies the ~300 MB map every frame;
-    see vloam_run_chunk); two programs per CHUNK instead of per FRAME
+    see the note above VisionState); two programs per CHUNK instead of per FRAME
     amortizes the ~30 ms/call dispatch latency of the tunnel backend over
     F frames (per-frame alternation capped the combined mode at ~2 fps
     regardless of device speed). No per-frame host downloads; packed
