@@ -252,6 +252,10 @@ def main():
         "vs_baseline": round(fps / 10.0, 3),
         "upload_mbps": round(upload_mbps, 1),
     }
+    # emit the primary metric NOW: if the driver's timeout lands during the
+    # (slower-to-compile) combined stage below, the output tail still ends
+    # with a parseable record; on success the final full line supersedes it
+    print(json.dumps(rec), flush=True)
     rec.update(_roofline(cfg, np.stack(frames[:chunk]), eng._elev, fps))
 
     # secondary metric: full camera+lidar mode — always attempted; a
