@@ -34,14 +34,26 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def _cached_frames(key, gen):
+_FRAME_CACHE_VERSION = 2  # bump when the synthetic world code changes
+
+
+def _cached_frames(key, params, gen):
     """Generate-or-load synthetic frames: frame generation is the slow half
     of the bench wall clock, and the frames are deterministic — caching them
     under /tmp keeps the combined metric affordable in ANY driver budget
-    (it used to be silently skipped when <150 s remained)."""
+    (it used to be silently skipped when <150 s remained).
+
+    `params` is the full tuple of generation inputs (scene seed/extent,
+    n_scans, n_azimuth, noise, trajectory args, version tag); it is folded
+    into the cache filename so ANY parameter change invalidates the cache
+    instead of silently reusing stale frames."""
+    import hashlib
+
     import numpy as np
 
-    path = f"/tmp/vloam_bench_cache_{key}.npz"
+    tag = hashlib.sha1(
+        repr((_FRAME_CACHE_VERSION,) + tuple(params)).encode()).hexdigest()[:12]
+    path = f"/tmp/vloam_bench_cache_{key}_{tag}.npz"
     try:
         with np.load(path) as z:
             return [z[k] for k in z.files]
@@ -100,7 +112,10 @@ def _bench_combined(cfg, scene):
                 cfg_c.vo.img_height) * 255).astype(np.uint8))
         return scans + imgs
 
-    arrs = _cached_frames(f"combined_{n_warm + n_meas}", gen)
+    arrs = _cached_frames(
+        f"combined_{n_warm + n_meas}",
+        (0, 80.0, cfg_c.lidar.n_scans, 1800, cfg_c.vo.img_width,
+         cfg_c.vo.img_height, 1.1, 0.01), gen)
     scans, imgs = arrs[:len(poses)], arrs[len(poses):]
     eng = VloamEngine(cfg_c, calib, chunk=chunk)
     for k in range(n_warm):
@@ -120,7 +135,7 @@ def _bench_combined(cfg, scene):
         fence(eng.state)
         rates.append(n_meas / (time.perf_counter() - t0))
         k0 += n_meas
-    return max(rates)
+    return max(rates), sorted(rates)[1]
 
 
 # peak (bf16 MXU FLOP/s, HBM bytes/s) per chip, public spec sheets
@@ -201,7 +216,9 @@ def main():
             for k, T in enumerate(poses)
         ]
 
-    frames = _cached_frames(f"lidar_{n_warm + n_meas}", gen)
+    frames = _cached_frames(
+        f"lidar_{n_warm + n_meas}",
+        (0, 80.0, cfg.lidar.n_scans, 1800, 0.01, 1.1, 0.01), gen)
     n_returns = [int((f > 0).sum()) for f in frames]
 
     eng = LoamEngine(cfg, chunk=chunk)
@@ -230,6 +247,34 @@ def main():
     assert np.isfinite(outs["t_w_mo"]).all()
     fps = max(rates)
 
+    # device-only decomposition: time the chunk kernel on PRE-UPLOADED
+    # range images (no host->device transfer in the window), so the JSON
+    # separates device compute from tunnel-transport weather and
+    # round-over-round deltas are attributable
+    import jax.numpy as jnp
+
+    from vloam_tpu.lidar.loam_step import loam_run_chunk_polar
+
+    dev_chunks = [jnp.asarray(np.stack(frames[i:i + chunk]))
+                  for i in range(0, 4 * chunk, chunk)]
+    st = eng.state
+    f = dev_chunks[0].shape[0]
+    pq = jnp.zeros((f, 4), jnp.float32).at[:, 3].set(1.0)
+    pt = jnp.zeros((f, 3), jnp.float32)
+    upb = jnp.zeros((f,), bool)
+    fence(dev_chunks[-1])
+    st, _ = loam_run_chunk_polar(st, dev_chunks[0], eng._elev, pq, pt, upb,
+                                 eng.cfg, eng._polar_scale)
+    fence(st)
+    t0 = time.perf_counter()
+    n_dev = 0
+    for c in dev_chunks[1:]:
+        st, _ = loam_run_chunk_polar(st, c, eng._elev, pq, pt, upb,
+                                     eng.cfg, eng._polar_scale)
+        n_dev += f
+    fence(st)
+    device_ms = (time.perf_counter() - t0) / n_dev * 1e3
+
     # transport-weather reading: the tunnel's host->device bandwidth swings
     # 19-63 MB/s between minutes and bounds both metrics (lidar uploads
     # 0.23 MB/frame, combined 0.69); recording it lets a low fps reading be
@@ -251,6 +296,16 @@ def main():
             int(np.mean(n_returns)) // 1000),
         "vs_baseline": round(fps / 10.0, 3),
         "upload_mbps": round(upload_mbps, 1),
+        # honesty block: all three window rates (the tunnel's transport
+        # weather swings between minutes; `value` is the max = sustained
+        # device-rate estimate, `value_median` the middle window), plus the
+        # upload-free device rate so deltas are attributable to code vs
+        # transport
+        "value_median": round(sorted(rates)[1], 3),
+        "window_rates": [round(r, 3) for r in rates],
+        "device_ms_per_frame": round(device_ms, 3),
+        "upload_ms_per_frame": round(
+            max(0.0, 1000.0 / fps - device_ms), 3),
     }
     # emit the primary metric NOW: if the driver's timeout lands during the
     # (slower-to-compile) combined stage below, the output tail still ends
@@ -262,10 +317,11 @@ def main():
     # failure is reported in the JSON line instead of silently dropping
     # the metric (frames are /tmp-cached so this fits any driver budget)
     try:
-        combined_fps = _bench_combined(cfg, scene)
+        combined_fps, combined_med = _bench_combined(cfg, scene)
         # reference full-callback envelope ~147 ms/frame = ~6.8 fps
         rec["combined_fps"] = round(combined_fps, 3)
         rec["combined_vs_baseline"] = round(combined_fps / 6.8, 3)
+        rec["combined_fps_median"] = round(combined_med, 3)
     except Exception as e:
         rec["combined_error"] = repr(e)
     print(json.dumps(rec))

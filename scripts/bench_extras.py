@@ -124,7 +124,11 @@ def bench_batch(batch=4, n_chunks=3, chunk=8):
                                           n_azimuth=1800, seed=b * 1000 + k)
             for k, T in enumerate(poses)
         ])
-    eng = BatchLoamEngine(cfg, batch=batch, chunk=chunk)
+    # quantize_mm=5.0: the batch path is upload-bound on the tunnel
+    # backend; explicit here because the engine default flipped to
+    # lossless 0.0 in round 4 (advisor r4: keep this bench comparable
+    # across rounds)
+    eng = BatchLoamEngine(cfg, batch=batch, chunk=chunk, quantize_mm=5.0)
     for k in range(chunk):
         for b in range(batch):
             eng.push_polar(b, streams[b][k])

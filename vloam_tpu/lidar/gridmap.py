@@ -177,15 +177,25 @@ def grid_gather(g: FeatureGrid, queries: jnp.ndarray, cell: float):
     return jnp.moveaxis(planar, 2, 0).reshape(3, q, 8 * cap)
 
 
-def knn_among(cand: jnp.ndarray, queries: jnp.ndarray, k: int = 5):
+def knn_among_planar(cand: jnp.ndarray, queries: jnp.ndarray, k: int = 5):
     """k-NN among pre-gathered planar candidates [3, Q, C].
-    Returns (d_sq [Q,k] ascending, near [Q,k,3]); sentinel-padded slots
-    return d_sq ~1e12 and lose every comparison."""
+    Returns (d_sq [Q,k] ascending, near [3, Q, k] PLANAR); sentinel-padded
+    slots return d_sq ~1e12 and lose every comparison. Consumers should
+    stay in the planar layout: transposing to [Q, k, 3] materializes a
+    copy whose 3-wide minor axis runs at 3/128 lane utilization (the
+    moveaxis alone measured 0.2 ms per mapping round)."""
     diff = cand - queries.T[:, :, None]
     d = jnp.sum(diff * diff, axis=0)  # [Q, C], lanes on candidates
     nd, ni = jax.lax.top_k(-d, k)
     near = jnp.take_along_axis(cand, ni[None, :, :], axis=2)  # [3, Q, k]
-    return -nd, jnp.moveaxis(near, 0, 2)
+    return -nd, near
+
+
+def knn_among(cand: jnp.ndarray, queries: jnp.ndarray, k: int = 5):
+    """knn_among_planar with the xyz-minor [Q, k, 3] output (interactive /
+    test convenience; hot paths use the planar form directly)."""
+    d, near = knn_among_planar(cand, queries, k)
+    return d, jnp.moveaxis(near, 0, 2)
 
 
 @partial(jax.jit, static_argnames=("cell", "k"))

@@ -95,15 +95,18 @@ def loam_frame_step_feats(
     q0 = jnp.where(use_prior, prior_q, state.q_f2f)
     t0 = jnp.where(use_prior, prior_t, state.t_f2f)
 
-    def do_lo(_):
-        return solve_lo(feats.sharp, feats.flat, state.corner_last,
-                        state.surf_last, q0, t0, cfg.lo)
-
-    def skip_lo(_):
-        return (jnp.asarray([0, 0, 0, 1], jnp.float32),
-                jnp.zeros(3, jnp.float32), jnp.int32(0), jnp.int32(0))
-
-    q, t, n_c, n_s = jax.lax.cond(initialized, do_lo, skip_lo, None)
+    # No lax.cond around the LO solve: only frame 0 skips it, and the
+    # conditional costs per-frame copies of its operands. On frame 0 the
+    # "last" slabs are all-SENTINEL, every association fails the 25 m^2
+    # gate, all IRLS weights are zero and the solve returns its seed — the
+    # select below reproduces the skip branch exactly.
+    q_s, t_s, n_c, n_s = solve_lo(feats.sharp, feats.flat, state.corner_last,
+                                  state.surf_last, q0, t0, cfg.lo)
+    ident_q = jnp.asarray([0, 0, 0, 1], jnp.float32)
+    q = jnp.where(initialized, q_s, ident_q)
+    t = jnp.where(initialized, t_s, jnp.zeros(3, jnp.float32))
+    n_c = jnp.where(initialized, n_c, 0)
+    n_s = jnp.where(initialized, n_s, 0)
 
     # world accumulation (reference laser_odometry.cpp:477-478)
     q_w = jnp.where(initialized,

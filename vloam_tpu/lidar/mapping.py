@@ -38,7 +38,7 @@ from ..geometry import so3
 from ..solver.eig3 import eigvals_sym3, principal_eigenvector
 from ..solver.lm import ResidualFamily, lm_solve
 from .gridmap import (FeatureGrid, grid_create, grid_evict, grid_export,
-                      grid_gather, grid_insert, knn_among)
+                      grid_gather, grid_insert, knn_among_planar)
 from .types import FeatureCloud
 from .voxel import voxel_downsample
 
@@ -70,17 +70,20 @@ def _cube_coord(p: jnp.ndarray, cube_size: float) -> jnp.ndarray:
 def _corner_terms(stack_xyz, stack_mask, cand, x, cfg):
     """Line features from 5-NN covariance (reference :472-517).
     `cand` is the pre-gathered planar candidate slab [3, Q, 8*cap]
-    (grid_gather at the prediction pose; see solve_mapping)."""
+    (grid_gather at the prediction pose; see solve_mapping). All k-wide
+    intermediates stay PLANAR [3, Q, k] — the xyz-minor layout costs a
+    0.2 ms copy per round (see knn_among_planar)."""
     q, t = x[:4], x[4:]
     p_w = so3.quat_rotate(q, stack_xyz) + t
-    d, near = knn_among(cand, p_w, k=cfg.knn)
+    d, near = knn_among_planar(cand, p_w, k=cfg.knn)  # near [3, Q, k]
     ok = stack_mask & (d[:, cfg.knn - 1] < cfg.neighbor_radius_sq)
-    center = jnp.mean(near, axis=1)
-    dm = near - center[:, None, :]
-    cov = jnp.einsum("bki,bkj->bij", dm, dm) / cfg.knn
+    center_p = jnp.mean(near, axis=2)  # [3, Q]
+    dm = near - center_p[:, :, None]
+    cov = jnp.einsum("iqk,jqk->qij", dm, dm) / cfg.knn
     lams = eigvals_sym3(cov)
     is_line = lams[:, 2] > cfg.eigen_ratio * lams[:, 1]
     u = principal_eigenvector(cov, lams[:, 2])
+    center = center_p.T  # [Q, 3]
     a = center + cfg.edge_half_length * u
     b = center - cfg.edge_half_length * u
     valid = ok & is_line
@@ -90,13 +93,13 @@ def _corner_terms(stack_xyz, stack_mask, cand, x, cfg):
 
 def _surf_terms(stack_xyz, stack_mask, cand, x, cfg):
     """Plane features from 5-NN LS fit A n = -1 (reference :538-581).
-    `cand` as in _corner_terms."""
+    `cand` as in _corner_terms; planar [3, Q, k] throughout."""
     q, t = x[:4], x[4:]
     p_w = so3.quat_rotate(q, stack_xyz) + t
-    d, near = knn_among(cand, p_w, k=cfg.knn)
+    d, near = knn_among_planar(cand, p_w, k=cfg.knn)  # near [3, Q, k]
     ok = stack_mask & (d[:, cfg.knn - 1] < cfg.neighbor_radius_sq)
-    AtA = jnp.einsum("bki,bkj->bij", near, near)
-    Atb = -jnp.sum(near, axis=1)  # A^T * (-1)
+    AtA = jnp.einsum("iqk,jqk->qij", near, near)
+    Atb = -jnp.sum(near, axis=2).T  # [Q, 3] = A^T * (-1)
     # closed-form 3x3 solve via adjugate
     det = jnp.linalg.det(AtA)
     adj = jnp.stack(
@@ -114,7 +117,7 @@ def _surf_terms(stack_xyz, stack_mask, cand, x, cfg):
     nood = 1.0 / jnp.maximum(norm, _EPS)  # negative_OA_dot_norm (:558)
     n_hat = n / jnp.maximum(norm, _EPS)[:, None]
     # plane validity: all 5 residuals within tolerance (:563-573)
-    resid = jnp.abs(jnp.einsum("bki,bi->bk", near, n_hat) + nood[:, None])
+    resid = jnp.abs(jnp.einsum("iqk,qi->qk", near, n_hat) + nood[:, None])
     plane_ok = jnp.all(resid <= cfg.plane_fit_tolerance, axis=-1)
     valid = ok & plane_ok & (jnp.abs(det) > 1e-12) & (norm > _EPS)
     return n_hat, nood, valid
@@ -192,7 +195,14 @@ def solve_mapping(
                          iterations=cfg.gn_iterations, huber_delta=cfg.huber_delta)
         return x
 
-    x = jax.lax.cond(enough, do_solve, lambda x: x, x0)
+    # No lax.cond around the solve: the branch is only unused on the first
+    # 1-2 frames of a sequence (sparse map) and the conditional itself
+    # costs real copies of the branch operands per frame. On an
+    # empty/sparse map every 5-NN fails its radius gate, all IRLS weights
+    # are zero, and the damped solve returns delta = 0 — so the select
+    # below is exact, not an approximation (eig3/plane-fit paths are
+    # NaN-free on degenerate inputs by construction).
+    x = jnp.where(enough, do_solve(x0), x0)
     q_w, t_w = x[:4], x[4:]
     new_map = map_update(grid_map, corner_stack_xyz, corner_stack_mask,
                          surf_stack_xyz, surf_stack_mask, q_w, t_w, cfg)

@@ -317,11 +317,18 @@ def ring_slab_assoc(
     if mode == "surf":
         # second-nearest on ring0: recompute distances on the gathered
         # ring0 slab only ([Q, C] — 1/n_rings of the full reduction),
-        # packed single-pass min with the nearest slot excluded
-        row = slab.xyz[ring0]  # [Q, C, 3]
-        dq = jnp.sum((queries[:, None, :] - row) ** 2, axis=-1)  # [Q, C]
+        # packed single-pass min with the nearest slot excluded.
+        # LAYOUT IS WALL-CLOCK HERE: the row must be gathered from the
+        # coordinate-major slab ([Q, 3, C], candidates in the 128-lane
+        # minor axis) — the xyz-minor [Q, C, 3] form runs every
+        # elementwise/reduce pass at 3/128 lane utilization and measured
+        # 2.35 ms vs 0.55 ms for this whole association (round 5,
+        # bit-identical outputs).
+        row_t = slab_t[ring0]  # [Q, 3, C] — C-major gather
+        diff = queries[:, :, None] - row_t
+        dq = jnp.sum(diff * diff, axis=1)  # [Q, C]
         col = jax.lax.broadcasted_iota(jnp.int32, dq.shape, 1)
-        C = row.shape[1]
+        C = row_t.shape[2]
         bits = max(1, (C - 1).bit_length())
         clip_d = 64.0
         scale = float(1 << (30 - bits)) / clip_d
@@ -329,5 +336,7 @@ def ring_slab_assoc(
         dqi = jnp.where(col == slot0[:, None], jnp.int32(1 << 30), dqi << bits)
         m = jnp.min(dqi | col, axis=1)
         out["d3"] = (m >> bits).astype(jnp.float32) / scale
-        out["p3"] = row[q_idx, m & ((1 << bits) - 1)]
+        slot3 = m & ((1 << bits) - 1)
+        out["p3"] = jnp.take_along_axis(
+            row_t, slot3[:, None, None], axis=2)[:, :, 0]
     return out

@@ -26,6 +26,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..config import LidarProfile, ScanRegistrationConfig
 from .ring_assoc import RingSlab, SENTINEL
@@ -256,6 +258,97 @@ def _select_ring(pts, curv, cnt, cfg: ScanRegistrationConfig):
     return label, selectable
 
 
+def _select_rings_pallas_kernel(curv_ref, bf_ref, cnt_ref, label_ref,
+                                *, cfg: ScanRegistrationConfig):
+    """Reference-exact strict sector selection for ALL rings in one program.
+
+    The XLA fori_loop form round-trips the [S, R] picked/label state through
+    HBM on every one of the n_sectors*(n_corner+n_flat) = 144 serialized
+    pick rounds (~2.0 ms/frame, the largest single cost in the fused LOAM
+    step after round-5's association fixes). Here the whole state lives in
+    VMEM for the entire loop: same argmax/suppression semantics as
+    _select_ring's strict branch (reference scan_registration.cpp:312-440),
+    bit-identical labels, ~10x less wall time.
+    """
+    S, R = curv_ref.shape
+    curv = curv_ref[:]
+    bf = bf_ref[:]
+    cnt = cnt_ref[:]  # [S, 1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (S, R), 1)
+    start = jnp.int32(5)
+    end = cnt[:, 0] - 6  # [S]
+    ring_ok = (end - start) >= 6
+    exists = col < cnt
+    thr = cfg.curvature_threshold
+    n_corner = cfg.max_less_sharp_per_sector
+    n_flat = cfg.max_flat_per_sector
+    per_sector = n_corner + n_flat
+    ns = cfg.n_sectors
+    width = end - start  # [S]
+
+    def round_body(s, st):
+        picked, label = st
+        j = s // per_sector
+        k = s % per_sector
+        is_corner = k < n_corner
+        sp = start + width * j // ns
+        ep = start + width * (j + 1) // ns - 1
+        in_sector = ((col >= sp[:, None]) & (col <= ep[:, None])
+                     & ring_ok[:, None] & exists)
+        # corner: maximize curv gated at curv > thr; flat: maximize -curv
+        # gated at curv < thr — both are `score > tj` with score = sgn*curv
+        # (avoids bool-vector selects, which Mosaic cannot legalize)
+        sgn = jnp.where(is_corner, jnp.float32(1.0), jnp.float32(-1.0))
+        tj = jnp.where(is_corner, jnp.float32(thr), jnp.float32(-thr))
+        score = curv * sgn
+        c = jnp.where(in_sector & (picked == 0) & (score > tj), score,
+                      -jnp.inf)
+        m = jnp.max(c, axis=1)  # [S]
+        ind = jnp.min(jnp.where(c >= m[:, None], col, jnp.int32(2**30)),
+                      axis=1)  # [S] first argmax
+        ok = m > tj
+        lab = jnp.where(is_corner,
+                        jnp.where(k < cfg.max_sharp_per_sector, 2, 1), -1)
+        at_pick = col == ind[:, None]
+        label = jnp.where(at_pick & ok[:, None], lab, label)
+        # the reference breaks before suppressing the last flat pick
+        do_supp = ok & (is_corner | (k - n_corner < n_flat - 1))
+        bf_pick = jnp.max(jnp.where(at_pick, bf, jnp.int32(-1)), axis=1)
+        supp = ((jnp.abs(col - ind[:, None]) <= 5)
+                & (bf == bf_pick[:, None]) & do_supp[:, None])
+        picked = jnp.where(supp, 1, picked)
+        return picked, label
+
+    picked0 = jnp.zeros((S, R), jnp.int32)
+    label0 = jnp.zeros((S, R), jnp.int32)
+    _, label = jax.lax.fori_loop(0, ns * per_sector, round_body,
+                                 (picked0, label0))
+    label_ref[:] = label
+
+
+def _select_rings_pallas(pts, curv, counts, cfg: ScanRegistrationConfig):
+    """VMEM-resident strict selection over all rings; returns (label [S, R],
+    selectable [S, R]) identical to vmapped _select_ring(strict)."""
+    S, R = curv.shape
+    bf = jax.vmap(lambda p: _break_prefix(p, cfg.neighbor_suppress_gap_sq))(
+        pts)  # [S, R+1] -> use first R entries (prefix value AT each index)
+    bf = bf[:, :R]
+    label = pl.pallas_call(
+        partial(_select_rings_pallas_kernel, cfg=cfg),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, R), jnp.int32),
+    )(curv, bf.astype(jnp.int32), counts.astype(jnp.int32)[:, None])
+    idx = jnp.arange(R)[None, :]
+    start, end = 5, counts[:, None] - 6
+    ring_ok = (end - 5) >= 6
+    exists = idx < counts[:, None]
+    selectable = (idx >= start) & (idx <= end - 1) & ring_ok & exists
+    return label, selectable
+
+
 def _features_from_layout(pts, rt, counts, cfg: ScanRegistrationConfig
                           ) -> ScanFeatures:
     """Shared back half: curvature, greedy selection, and feature-cloud
@@ -264,9 +357,16 @@ def _features_from_layout(pts, rt, counts, cfg: ScanRegistrationConfig
     S, R = pts.shape[0], pts.shape[1]
     curv = _curvature(pts)
 
-    label, selectable = jax.vmap(lambda p, c, k: _select_ring(p, c, k, cfg))(
-        pts, curv, counts
-    )
+    # Strict (reference-exact) selection runs as the VMEM-resident Pallas
+    # kernel on TPU (the XLA fori_loop form pays an HBM round trip of the
+    # [S, R] state per pick round — ~2.0 ms/frame vs ~0.2); the vmapped XLA
+    # form remains for CPU (tests / virtual meshes) and for batched mode.
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    if cfg.strict_sector_order and on_tpu:
+        label, selectable = _select_rings_pallas(pts, curv, counts, cfg)
+    else:
+        label, selectable = jax.vmap(
+            lambda p, c, k: _select_ring(p, c, k, cfg))(pts, curv, counts)
 
     ring_ids = jnp.broadcast_to(jnp.arange(S)[:, None], (S, R))
     exists = jnp.arange(R)[None, :] < counts[:, None]

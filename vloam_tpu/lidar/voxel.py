@@ -37,41 +37,59 @@ def _hash_cells(ix, iy, iz, part):
     return h
 
 
-def _segment_tail(hs, xs, es, ps, ms, out_cap, n_extra, dtype,
-                  sorted_ids: bool):
+def _segment_tail(hs, xs, es, ps, ms, out_cap, n_extra, dtype):
     """Shared post-sort reduction: segment-mean runs of equal hash keys.
-    Inputs are hash-sorted flat arrays (equal keys adjacent). sorted_ids
-    must be False when invalid runs are interleaved between valid ones (the
-    row-wise sort leaves each row's invalid tail in place, so the flattened
-    seg ids are NOT monotone — segment ops must not assume sortedness)."""
+    Inputs are hash-sorted flat arrays (equal keys adjacent; valid points
+    form a prefix because invalid hashes sort to the global tail).
+
+    SCATTER-FREE: a TPU scatter-add with duplicate indices serializes
+    (measured 1.1 ms for the 115k-point ring filter; jnp.searchsorted is
+    worse still — its binary-search lowering is a while loop of gathers,
+    ~0.33 ms per refinement step). Since equal keys are adjacent and valid
+    segments are contiguous from position 0, segment j's sum is the
+    difference of the inclusive prefix sum at consecutive segment ENDS:
+    cumsum + ONE compaction sort (key = segment id at end elements, +inf
+    elsewhere) + adjacent difference — all dense vector/sort ops.
+    Coordinates are centered on the valid-point mean before the prefix sum
+    so the f32 difference-of-prefix error stays ~1e-4 m (a raw cumsum of
+    80 m coordinates over 32k points would lose ~0.25 m to cancellation)."""
     is_start = jnp.concatenate([jnp.ones((1,), bool), hs[1:] != hs[:-1]]) & ms
     seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # -1 until first valid
-    seg_id = jnp.where(ms, seg_id, out_cap)  # drop invalid
     n_seg = jnp.max(jnp.where(ms, seg_id + 1, 0))
+    nxt_start = jnp.concatenate([is_start[1:], jnp.ones((1,), bool)])
+    nxt_ms = jnp.concatenate([ms[1:], jnp.zeros((1,), bool)])
+    is_end = ms & (nxt_start | ~nxt_ms)  # last element of each segment
 
     ones = ms.astype(dtype)
-    # one fused sorted-scatter for counts+coords(+extras): [N, 4+E]
-    payload = jnp.concatenate(
-        [ones[:, None], xs * ones[:, None]]
-        + ([es * ones[:, None]] if es is not None else []), axis=1)
-    sums = jax.ops.segment_sum(payload, seg_id, num_segments=out_cap + 1,
-                               indices_are_sorted=sorted_ids)[:out_cap]
+    cnt_valid = jnp.maximum(jnp.sum(ones), 1.0)
+    center = jnp.sum(xs * ones[:, None], axis=0) / cnt_valid  # [3]
+    chans = [ones, (xs[:, 0] - center[0]) * ones,
+             (xs[:, 1] - center[1]) * ones, (xs[:, 2] - center[2]) * ones]
+    chans += [es[:, j] * ones for j in range(n_extra)]
+    cs = [jnp.cumsum(c) for c in chans]
+
+    key = jnp.where(is_end, seg_id, jnp.int32(2**30))
+    sorted2 = jax.lax.sort((key, *cs, ps), num_keys=1)
+    m = min(out_cap, key.shape[0])
+    pad = out_cap - m
+    ends_cs = [jnp.pad(o[:m], (0, pad)) for o in sorted2[1:1 + len(cs)]]
+    prev = [jnp.concatenate([jnp.zeros((1,), c.dtype), c[:-1]])
+            for c in ends_cs]
+    sums = jnp.stack([c - p for c, p in zip(ends_cs, prev)], axis=1)
+    occupied = jnp.arange(out_cap) < jnp.minimum(n_seg, out_cap)
+    sums = jnp.where(occupied[:, None], sums, 0.0)
     counts = sums[:, 0]
     denom = jnp.maximum(counts, 1.0)[:, None]
-    out_xyz = sums[:, 1:4] / denom
+    out_xyz = sums[:, 1:4] / denom + jnp.where(
+        occupied[:, None], center[None, :], 0.0)
     out_extra = sums[:, 4:4 + n_extra] / denom if n_extra else None
 
-    # partition id of the voxel = min over members (constant within a voxel
+    # partition id of the voxel = any member's (constant within a voxel
     # when partition participates in the hash, modulo collisions).
-    big = jnp.int32(2**30)
-    out_part = jax.ops.segment_min(
-        jnp.where(ms, ps, big), seg_id, num_segments=out_cap + 1,
-        indices_are_sorted=sorted_ids,
-    )[:out_cap]
-    out_part = jnp.where(counts > 0, out_part, 0).astype(jnp.int32)
+    out_part = jnp.where(occupied, jnp.pad(sorted2[-1][:m], (0, pad)),
+                         0).astype(jnp.int32)
 
-    out_mask = jnp.arange(out_cap) < jnp.minimum(n_seg, out_cap)
-    return out_xyz, out_extra, out_part, out_mask
+    return out_xyz, out_extra, out_part, occupied
 
 
 def voxel_downsample(
@@ -111,8 +129,7 @@ def voxel_downsample(
     es = (jnp.stack(sorted_ops[4:4 + n_extra], axis=1) if n_extra else None)
     ps = sorted_ops[4 + n_extra]
     ms = sorted_ops[5 + n_extra] > 0
-    return _segment_tail(hs, xs, es, ps, ms, out_cap, n_extra, xyz.dtype,
-                         sorted_ids=True)
+    return _segment_tail(hs, xs, es, ps, ms, out_cap, n_extra, xyz.dtype)
 
 
 def voxel_downsample_rows_slab(
@@ -143,65 +160,50 @@ def voxel_downsample_rows_slab(
     hs = sorted_ops[0]
     ms = sorted_ops[4 + n_extra] > 0
     # row-local segment ids: seg[s, j] = index of point j's voxel within
-    # ring s; invalid points route to the trash row (segment S*ring_cap).
+    # ring s. Valid points form each row's prefix (invalid hashes sort to
+    # the row tail), so valid segments are contiguous runs from column 0 —
+    # segment j's sum is the difference of the row-wise inclusive prefix
+    # sum at consecutive segment ENDS, compacted to the row prefix by ONE
+    # extra row-wise sort. SCATTER-FREE: the previous
+    # segment_sum-into-32k-slots scatter serialized on duplicate indices
+    # (measured 1.1 ms/frame), and jnp.searchsorted is worse (binary-search
+    # while loop of ~0.33 ms gathers). Coordinates are centered per row
+    # before the prefix sum to keep the f32 difference-of-prefix error
+    # ~1e-4 m.
     is_start = jnp.concatenate(
         [jnp.ones((S, 1), bool), hs[:, 1:] != hs[:, :-1]], axis=1) & ms
     seg = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1
     n_seg = jnp.max(jnp.where(ms, seg, -1), axis=1) + 1  # [S]
-    gseg = jnp.where(ms & (seg < ring_cap),
-                     part * ring_cap + seg, S * ring_cap)
+    nxt_start = jnp.concatenate(
+        [is_start[:, 1:], jnp.ones((S, 1), bool)], axis=1)
+    nxt_ms = jnp.concatenate([ms[:, 1:], jnp.zeros((S, 1), bool)], axis=1)
+    is_end = ms & (nxt_start | ~nxt_ms)
 
     ones = ms.astype(pts.dtype)
-    payload = jnp.concatenate(
-        [ones[..., None], jnp.stack(sorted_ops[1:4], axis=-1) * ones[..., None]]
-        + ([jnp.stack(sorted_ops[4:4 + n_extra], axis=-1) * ones[..., None]]
-           if n_extra else []), axis=-1).reshape(S * R, -1)
-    # NOT sorted: each row's invalid tail (gseg = S*ring_cap) interleaves
-    # between rows in the flattened stream.
-    sums = jax.ops.segment_sum(payload, gseg.reshape(-1),
-                               num_segments=S * ring_cap + 1,
-                               indices_are_sorted=False)[:S * ring_cap]
-    counts = sums[:, 0]
-    denom = jnp.maximum(counts, 1.0)[:, None]
-    out_xyz = (sums[:, 1:4] / denom).reshape(S, ring_cap, 3)
-    out_extra = ((sums[:, 4:4 + n_extra] / denom).reshape(S, ring_cap, n_extra)
-                 if n_extra else None)
+    cnt_valid = jnp.maximum(jnp.sum(ones, axis=1), 1.0)  # [S]
+    center = jnp.stack(
+        [jnp.sum(sorted_ops[1 + a] * ones, axis=1) / cnt_valid
+         for a in range(3)], axis=1)  # [S, 3]
+    chans = [ones] + [(sorted_ops[1 + a] - center[:, a:a + 1]) * ones
+                      for a in range(3)]
+    chans += [sorted_ops[4 + j] * ones for j in range(n_extra)]
+    cs = [jnp.cumsum(c, axis=1) for c in chans]  # each [S, R]
+
+    key = jnp.where(is_end, seg, jnp.int32(2**30))
+    sorted2 = jax.lax.sort((key, *cs), num_keys=1, dimension=1)
+    m = min(ring_cap, R)
+    ends_cs = [jnp.pad(o[:, :m], ((0, 0), (0, ring_cap - m)))
+               for o in sorted2[1:]]
+    prev = [jnp.concatenate([jnp.zeros((S, 1), c.dtype), c[:, :-1]], axis=1)
+            for c in ends_cs]
+    sums = jnp.stack([c - p for c, p in zip(ends_cs, prev)],
+                     axis=-1)  # [S, ring_cap, 4+E]
     out_mask = (jnp.arange(ring_cap)[None, :]
                 < jnp.minimum(n_seg, ring_cap)[:, None])
+    sums = jnp.where(out_mask[..., None], sums, 0.0)
+    counts = sums[..., 0]
+    denom = jnp.maximum(counts, 1.0)[..., None]
+    out_xyz = sums[..., 1:4] / denom + jnp.where(
+        out_mask[..., None], center[:, None, :], 0.0)
+    out_extra = sums[..., 4:4 + n_extra] / denom if n_extra else None
     return out_xyz, out_extra, out_mask
-
-
-def voxel_downsample_rows(
-    pts: jnp.ndarray,  # [S, R, 3] per-ring layout
-    mask: jnp.ndarray,  # [S, R]
-    leaf: float,
-    out_cap: int,
-    extra: jnp.ndarray | None = None,  # [S, R, E]
-):
-    """voxel_downsample specialized for the dense per-ring layout, with the
-    row index as the partition (the reference's per-ring VoxelGrid,
-    scan_registration.cpp:433-439).
-
-    The global N-point sort becomes a row-wise [S, R] sort (hashes embed the
-    ring id, so equal-hash runs never cross rows and the flattened row-major
-    stream feeds the same segment reduction) — on the target chip row-wise
-    sorting S independent rings is several times cheaper than one S*R sort."""
-    S, R = pts.shape[0], pts.shape[1]
-    part = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None], (S, R))
-    cell = jnp.floor(pts / leaf).astype(jnp.int32)
-    h = _hash_cells(cell[..., 0], cell[..., 1], cell[..., 2], part)
-    h = jnp.where(mask, h, jnp.uint32(0xFFFFFFFF))
-
-    n_extra = 0 if extra is None else extra.shape[2]
-    operands = (h, pts[..., 0], pts[..., 1], pts[..., 2],
-                *(extra[..., j] for j in range(n_extra)),
-                part, mask.astype(jnp.int32))
-    sorted_ops = jax.lax.sort(operands, num_keys=1, dimension=1)
-    hs = sorted_ops[0].reshape(-1)
-    xs = jnp.stack([o.reshape(-1) for o in sorted_ops[1:4]], axis=1)
-    es = (jnp.stack([o.reshape(-1) for o in sorted_ops[4:4 + n_extra]], axis=1)
-          if n_extra else None)
-    ps = sorted_ops[4 + n_extra].reshape(-1)
-    ms = sorted_ops[5 + n_extra].reshape(-1) > 0
-    return _segment_tail(hs, xs, es, ps, ms, out_cap, n_extra, pts.dtype,
-                         sorted_ids=False)

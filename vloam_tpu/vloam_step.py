@@ -269,15 +269,16 @@ def _vision_lo_frame(st: VisionLoState, grid_scan, grid_n, feats, image_u8,
     q0 = jnp.where(use_prior, q_pr, st.q_f2f)
     t0 = jnp.where(use_prior, t_pr, st.t_f2f)
 
-    def do_lo(_):
-        return solve_lo(feats.sharp, feats.flat, st.corner_last,
-                        st.surf_last, q0, t0, cfg.lo)
-
-    def skip_lo(_):
-        return (jnp.asarray([0, 0, 0, 1], jnp.float32),
-                jnp.zeros(3, jnp.float32), jnp.int32(0), jnp.int32(0))
-
-    q, t, n_c, n_s = jax.lax.cond(initialized, do_lo, skip_lo, None)
+    # No lax.cond around the LO solve (see lidar/loam_step.py): frame 0's
+    # all-SENTINEL slabs zero every IRLS weight, so the solve returns its
+    # seed and the select reproduces the skip branch exactly, without the
+    # conditional's per-frame operand copies.
+    q_s, t_s, n_c, n_s = solve_lo(feats.sharp, feats.flat, st.corner_last,
+                                  st.surf_last, q0, t0, cfg.lo)
+    q = jnp.where(initialized, q_s, jnp.asarray([0, 0, 0, 1], jnp.float32))
+    t = jnp.where(initialized, t_s, jnp.zeros(3, jnp.float32))
+    n_c = jnp.where(initialized, n_c, 0)
+    n_s = jnp.where(initialized, n_s, 0)
     q_w = jnp.where(initialized,
                     so3.quat_normalize(so3.quat_multiply(st.q_w, q)), st.q_w)
     t_w = jnp.where(initialized, st.t_w + so3.quat_rotate(st.q_w, t),
@@ -462,6 +463,26 @@ class VloamEngine:
         self.cfg = cfg
         self.chunk = chunk
         self.ext = CamExtrinsics.from_calib(calib)
+        # Polar ingest decodes only the forward +-(polar_fov_fraction*pi)
+        # azimuth wedge for the depth grid; a camera yawed outside that
+        # wedge would silently lose all lidar depth (advisor r4). Validate
+        # the camera principal axis (velo frame) against the wedge here,
+        # loudly, instead of producing depthless VO downstream.
+        frac = float(cfg.vo.polar_fov_fraction)
+        if frac < 1.0:
+            # cam0 principal axis +z expressed in velo frame: the rotation
+            # part of velo_T_cam's third column
+            velo_T_cam = np.asarray(getattr(calib, "imu_T_cam0", np.eye(4)))
+            axis = velo_T_cam[:3, 2]
+            yaw = abs(float(np.arctan2(axis[1], axis[0])))
+            half_fov = np.arctan2(cfg.vo.img_width / 2.0,
+                                  float(np.asarray(calib.K)[0, 0]))
+            if yaw + half_fov > frac * np.pi + 1e-6:
+                raise ValueError(
+                    f"camera FOV (yaw {np.degrees(yaw):.1f} deg +- "
+                    f"{np.degrees(half_fov):.1f} deg from velo +x) exceeds "
+                    f"the decoded polar wedge +-{frac * 180:.0f} deg; raise "
+                    "vo.polar_fov_fraction (1.0 = full sweep)")
         self.map_callback = map_callback
         self._next_pub = cfg.mapping.map_pub_number
         self.vstate = VisionLoState.create(cfg)
