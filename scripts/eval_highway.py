@@ -102,6 +102,12 @@ def main(n_frames=80):
          base.replace(detach_VO_LO=False,
                       vo=dataclasses.replace(base.vo, min_vo_matches=0)),
          ("VO", "LO", "MO")),
+        # degrade-don't-die: LK-flow re-match + seed dead-reckoning when
+        # descriptor matching collapses; the gate still protects LO/MO
+        ("combined (guards on + lowtex fallback)",
+         base.replace(detach_VO_LO=False,
+                      vo=dataclasses.replace(base.vo, lowtex_fallback=True)),
+         ("VO", "LO", "MO")),
     ]
     for name, cfg, streams in configs:
         res = run_sequence_fused(cfg, calib, iter(frames),
@@ -152,11 +158,16 @@ def main(n_frames=80):
             f"{fmt(mo, 'ate_rmse_m')} |")
     lines += [
         "",
-        "With guards on, the VO STREAM is (correctly) reported as unusable "
-        "— the min_vo_matches gate rejects every frame's solve, so LO/MO "
-        "never consume it and stay healthy (the reference's own VO row on "
-        "seq 01 is 50.5%). With the gate disabled, the garbage VO seeds "
-        "poison LO and MO exactly as the reference's coupled mode does.",
+        "With guards on, the min_vo_matches gate rejects every low-match "
+        "solve so LO/MO never consume the VO and stay healthy (the "
+        "reference's own VO row on seq 01 is 50.5%). With the gate "
+        "disabled, the garbage VO seeds poison LO and MO exactly as the "
+        "reference's coupled mode does. The lowtex-fallback row degrades "
+        "instead of dying: gated frames are re-matched by LK flow and, "
+        "failing that, dead-reckoned from the LO-derived seed "
+        "(vo.lowtex_fallback), producing a finite usable-but-degraded VO "
+        "stream like the reference emits on seq 01 — while the gate still "
+        "keeps it out of the LO prior (MO must match the guards-on row).",
         "",
     ]
     with open(out, "a") as f:

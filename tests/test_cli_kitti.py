@@ -253,3 +253,39 @@ def test_cli_viz_flow_mode(tmp_path):
     assert any(p.name.startswith("flow_") for p in pngs)
     assert not any(p.name.startswith("matches_") for p in pngs)
     assert any(p.name.startswith("depth_") for p in pngs)
+
+
+def test_cli_compare_ref_harness(tmp_path, capsys):
+    """--compare-ref: the one-command KITTI parity harness. A run compared
+    against its own previously written results directory must report ~zero
+    ATE/RPE for every stream (the moment real KITTI data + the reference's
+    results/ are mounted, parity is this single command)."""
+    import json as _json
+
+    from vloam_tpu.cli import main
+
+    ref_out = tmp_path / "ref_results"
+    rc = main([
+        "run", "--odometry-root", str(FIXTURE), "--seq", "00",
+        "--sensor", "tiny", "--mode", "lidar-only", "--engine", "fused",
+        "--chunk", "2", "--out", str(ref_out), "--verbose", "0",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main([
+        "run", "--odometry-root", str(FIXTURE), "--seq", "00",
+        "--sensor", "tiny", "--mode", "lidar-only", "--engine", "fused",
+        "--chunk", "2", "--compare-ref", str(ref_out), "--verbose", "0",
+    ])
+    assert rc == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("compare-ref ")]
+    streams = {}
+    for ln in lines:
+        name, payload = ln[len("compare-ref "):].split(": ", 1)
+        streams[name] = _json.loads(payload)
+    assert "LO1" in streams and "MO1" in streams, lines
+    for name, m in streams.items():
+        assert m["n_frames"] == 5
+        assert m["ate_rmse_m"] < 1e-3, (name, m)

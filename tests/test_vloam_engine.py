@@ -184,3 +184,58 @@ def test_polar_fov_slice_preserves_depth_grid():
                                   np.asarray(g_sel.cnt))
     np.testing.assert_allclose(np.asarray(g_full.z), np.asarray(g_sel.z),
                                atol=1e-5)
+
+
+def test_lowtex_fallback_degrades_instead_of_dying():
+    """vo.lowtex_fallback: with constant (zero-texture) images no keypoints
+    survive, so both descriptor matching AND the flow re-match produce
+    nothing; the fallback exports the LO-derived seed so the VO stream
+    dead-reckons a finite, moving trajectory — while LO/MO stay identical
+    to the plain gated run (the fallback must never touch the LO prior)."""
+    import dataclasses
+
+    from test_pipeline import synth_setup
+
+    n = 4
+    calib, frames, gt = synth_setup(n, seed=5)
+
+    def noisy_frames():
+        for f in frames():
+            yield {"points": f["points"],
+                   "image": np.full(f["image"].shape, 0.5)}
+
+    base = small_cfg(detach_VO_LO=False)
+    results = {}
+    for name, cfg in (
+        ("off", base),
+        ("on", base.replace(vo=dataclasses.replace(base.vo,
+                                                   lowtex_fallback=True))),
+    ):
+        eng = VloamEngine(cfg, calib, chunk=2)
+        for f in noisy_frames():
+            eng.push(f["points"], f["image"])
+        results[name] = unpack_vloam_outputs(eng.finish(), calib)
+
+    for name, res in results.items():
+        n_match = res["n32"] + res["n22"]
+        assert (n_match < base.vo.min_vo_matches).all(), (name, n_match)
+
+    # LO/MO unaffected by the fallback (gate still protects the prior)
+    for which in ("LO", "MO"):
+        np.testing.assert_allclose(
+            results["on"][f"traj_{which}"], results["off"][f"traj_{which}"],
+            atol=1e-5)
+
+    # without fallback the VO stream freezes at identity; with it the
+    # stream dead-reckons the LO seed: finite and actually moving
+    vo_on = results["on"]["traj_VO"]
+    vo_off = results["off"]["traj_VO"]
+    assert np.isfinite(vo_on).all()
+    assert np.linalg.norm(vo_off[-1, :, 3] - vo_off[1, :, 3]) < 1e-4
+    moved = np.linalg.norm(vo_on[-1, :, 3] - vo_on[1, :, 3])
+    assert moved > 0.2, moved
+    # the dead-reckoned stream lags its LO seed by one frame, so its ATE is
+    # bounded by ~one frame of motion (speed 1.0 m/frame here) — finite and
+    # usable, unlike the frozen stream
+    m_vo = kitti_metrics(gt, vo_on, step=1)
+    assert m_vo["ate_rmse_m"] < 2.0, m_vo

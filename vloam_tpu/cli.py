@@ -74,8 +74,22 @@ def _add_run(sub):
     p.add_argument("--mesh", type=int, default=0, metavar="N",
                    help="run the mapping stage as distributed BA over an "
                         "N-device mesh (sharded scan stacks + map blocks, "
-                        "psum'd normal equations; host engine; the "
-                        "BASELINE north star on the production pipeline)")
+                        "windowed ring k-NN, psum'd normal equations). "
+                        "With --engine fused this is the shard_map'd "
+                        "mapping chunk inside the production engines "
+                        "(parallel/mesh_fused.py); with --engine host the "
+                        "per-frame MeshLaserMapping path")
+    p.add_argument("--reference-exact", action="store_true",
+                   help="roll every accuracy-motivated default divergence "
+                        "back to the reference's values "
+                        "(config.reference_exact) for parity runs")
+    p.add_argument("--compare-ref", default=None, metavar="DIR",
+                   help="after the run, compare each produced "
+                        "{VO,LO,MO}{suffix}.txt stream against the "
+                        "same-named file in DIR (the reference's "
+                        "results/<date>_drive_<seq>/ layout, "
+                        "vloam_main_node.cpp:79-111) and print ATE/RPE per "
+                        "stream — the one-command KITTI parity harness")
     p.add_argument("--loop-close", action="store_true",
                    help="after the sequence, detect loop closures (scan "
                         "re-matching) and re-optimize the MO trajectory "
@@ -160,6 +174,38 @@ def _run_loop_closure(result, calib, cfg, get_points, args):
                 write_kitti_pose_line(f, T34)
 
 
+def _compare_against_reference(result, cfg, ref_dir):
+    """Per-stream ATE/RPE of this run's trajectories vs a reference results
+    directory holding the upstream framework's {VO,LO,MO}{0,1}.txt files
+    (reference layout: src/vloam_main/results/<date>_drive_<seq>/, pose
+    format vloam_tf.cpp:93-99). Streams whose file is absent are skipped.
+    Returns {stream: metrics-dict} and prints one JSON line per stream."""
+    from pathlib import Path
+
+    from .eval.kitti_metrics import kitti_metrics, load_kitti_poses
+
+    suffix = str(int(cfg.detach_VO_LO))
+    report = {}
+    for which in ("VO", "LO", "MO"):
+        if which not in result or not len(result[which]):
+            continue
+        ref_file = Path(ref_dir) / f"{which}{suffix}.txt"
+        if not ref_file.exists():
+            print(f"compare-ref: {ref_file.name} not present in {ref_dir}, "
+                  "skipped")
+            continue
+        ref = load_kitti_poses(ref_file)
+        pred = np.asarray(result[which], np.float64)
+        n = min(len(ref), len(pred))
+        if n < 2:
+            continue
+        m = kitti_metrics(ref[:n], pred[:n], step=1)
+        m["n_frames"] = int(n)
+        report[which] = m
+        print(f"compare-ref {which}{suffix}: {json.dumps(m)}")
+    return report
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="vloam_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -180,12 +226,19 @@ def main(argv=None):
     from .pipeline import run_sequence, run_sequence_fused
     from .runtime.profiling import summarize_timings
 
-    cfg = {
-        "hdl64": kitti_hdl64,
-        "hdl32": lambda: PipelineConfig(lidar=HDL32),
-        "vlp16": lambda: PipelineConfig(lidar=VLP16),
-        "tiny": tiny_test_profile,
-    }[args.sensor]()
+    if args.reference_exact:
+        from .config import reference_exact
+
+        if args.sensor != "hdl64":
+            ap.error("--reference-exact is the HDL-64 KITTI parity profile")
+        cfg = reference_exact()
+    else:
+        cfg = {
+            "hdl64": kitti_hdl64,
+            "hdl32": lambda: PipelineConfig(lidar=HDL32),
+            "vlp16": lambda: PipelineConfig(lidar=VLP16),
+            "tiny": tiny_test_profile,
+        }[args.sensor]()
     cfg = cfg.replace(
         detach_VO_LO=(args.mode != "combined"), verbose_level=args.verbose
     )
@@ -296,18 +349,16 @@ def main(argv=None):
                      "visible (use XLA_FLAGS=--xla_force_host_platform_"
                      "device_count=N JAX_PLATFORMS=cpu for a virtual mesh)")
         mesh = data_mesh(devs[:args.mesh])
-        if args.engine == "fused":
-            print("--mesh runs through the host engine; "
-                  "overriding --engine fused")
     try:
-        if args.engine == "fused" and mesh is None:
+        if args.engine == "fused":
             result = run_sequence_fused(cfg, calib, frame_iter,
                                         out_dir=args.out, chunk=args.chunk,
                                         lidar_only=(args.mode == "lidar-only"),
                                         verbose=args.verbose,
                                         save_map=args.save_map,
                                         init_state=args.init_state,
-                                        save_state_path=args.save_state)
+                                        save_state_path=args.save_state,
+                                        mesh=mesh)
         else:
             result = run_sequence(cfg, calib, frame_iter, out_dir=args.out,
                                   progress=progress, viz_dir=args.viz,
@@ -323,6 +374,8 @@ def main(argv=None):
         print(f"throughput: {result['fps']:.1f} frames/s")
     if args.loop_close and "MO" in result and len(result["MO"]) > 2:
         _run_loop_closure(result, calib, cfg, get_points, args)
+    if args.compare_ref:
+        _compare_against_reference(result, cfg, args.compare_ref)
     if gt_poses is not None:
         from .eval.kitti_metrics import kitti_metrics
 

@@ -188,6 +188,18 @@ class VisualOdometryConfig:
     # -> LO diverged). Below the gate the frame's VO is rejected: LO falls
     # back to its own f2f continuity.
     min_vo_matches: int = 20
+    # Low-texture degrade-don't-die (the KITTI seq-01 regime, reference
+    # TABLE I row 01: VO 50.5% t_rel but still a finite trajectory). When
+    # descriptor matching collapses below min_vo_matches, (a) re-match the
+    # frame pair by pyramidal LK flow (the reference's alternative matcher,
+    # image_util.cpp:351-372) and solve on the flow pairs, and (b) if the
+    # solve still fails the gate, export the LO-derived seed as the VO
+    # motion (the reference seeds VO from LO, visual_odometry.cpp:269-281;
+    # with zero usable residuals its solve returns that seed) instead of
+    # freezing the stream at identity. The min_vo_matches gate still
+    # protects LO/MO seeding either way. Off by default: the flow pass
+    # costs ~1 ms/frame in the fused engine whether or not it is needed.
+    lowtex_fallback: bool = False
     # Polar-ingest only: fraction of the range image's azimuth columns
     # (centered on the forward direction) decoded for the camera depth
     # grid. The camera's half-FOV is ~41 deg on KITTI (atan((W/2)/fx)),

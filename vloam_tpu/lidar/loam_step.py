@@ -194,18 +194,40 @@ class LoamEngine:
     chunk kernel dequantizes on device."""
 
     def __init__(self, cfg: PipelineConfig, chunk: int = 8,
-                 quantize_mm: float = 0.0, map_callback=None):
+                 quantize_mm: float = 0.0, map_callback=None, mesh=None,
+                 mesh_window_rows: int = 4096):
         """map_callback(frame_idx, corner [Mc,3], surf [Ms,3]): invoked
         every cfg.mapping.map_pub_number frames with the accumulated map
         (the /laser_cloud_map publisher analogue, reference
         laser_mapping.cpp:778-793). Costs one device->host map download per
-        call — leave None for benchmark runs."""
+        call — leave None for benchmark runs.
+
+        mesh: a jax.sharding.Mesh — runs the mapping stage as distributed
+        BA sharded over the mesh (parallel/mesh_fused.py: map blocks +
+        scan stacks sharded, windowed ring k-NN, psum'd normal equations)
+        while scanreg+LO stay a single fused chunk. `window_active_rows`
+        reports the peak active-map row count vs mesh_window_rows."""
         self.cfg = cfg
         self.chunk = chunk
         self.quantize_mm = quantize_mm
         self.map_callback = map_callback
-        self.state = LoamState.create(cfg)
+        self.mesh = mesh
+        self.window_active_rows = (0, 0)
+        if mesh is None:
+            self.state = LoamState.create(cfg)
+        else:
+            from ..parallel.mesh_fused import (make_mesh_mapping_chunk,
+                                               shard_map_state)
+            from ..vloam_step import MapState
+
+            self._lo_state = LoChunkState.create(cfg)
+            self._map_state = shard_map_state(MapState.create(cfg), mesh)
+            self._mesh_chunk = make_mesh_mapping_chunk(
+                mesh, cfg, window_rows=mesh_window_rows)
+            self._mesh_window_rows = mesh_window_rows
+            self.state = (self._lo_state, self._map_state)
         self._outs = []
+        self._win: list = []
         self._frames_done = 0
         self._next_pub = cfg.mapping.map_pub_number
         self._pending_scans: list[np.ndarray] = []
@@ -219,7 +241,9 @@ class LoamEngine:
         if self.map_callback is not None and self._frames_done >= self._next_pub:
             from .mapping import export_map_points
 
-            corner, surf = export_map_points(self.state.cube)
+            cube = (self._map_state.cube if self.mesh is not None
+                    else self.state.cube)
+            corner, surf = export_map_points(cube)
             self.map_callback(self._frames_done, corner, surf)
             while self._next_pub <= self._frames_done:
                 self._next_pub += self.cfg.mapping.map_pub_number
@@ -262,18 +286,36 @@ class LoamEngine:
         if len(self._pending_polar) >= self.chunk:
             self._flush_polar()
 
+    def _run_mesh(self, lo_fn, *args):
+        """Mesh mode: scanreg+LO chunk, then the shard_map'd mapping chunk;
+        assemble the standard OUT_DIM packed rows."""
+        self._lo_state, lo_out, stacks = lo_fn(self._lo_state, *args)
+        c_xyz, c_m, s_xyz, s_m = stacks
+        self._map_state, mo_out = self._mesh_chunk(
+            self._map_state, c_xyz, c_m, s_xyz, s_m,
+            lo_out[:, 7:11], lo_out[:, 11:14])
+        self.state = (self._lo_state, self._map_state)
+        self._win.append(mo_out[:, 8:10])
+        return jnp.concatenate([
+            lo_out[:, :14], mo_out[:, :7], lo_out[:, 14:16], mo_out[:, 7:8],
+        ], axis=1)
+
     def _flush_polar(self):
         if not self._pending_polar:
             return
         ranges = jnp.asarray(np.stack(self._pending_polar))
         self._pending_polar = []
         f = ranges.shape[0]
-        pq = jnp.zeros((f, 4), jnp.float32).at[:, 3].set(1.0)
-        pt = jnp.zeros((f, 3), jnp.float32)
-        up = jnp.zeros((f,), bool)
-        self.state, outs = loam_run_chunk_polar(
-            self.state, ranges, self._elev, pq, pt, up, self.cfg,
-            self._polar_scale)
+        if self.mesh is not None:
+            outs = self._run_mesh(lo_run_chunk_polar, ranges, self._elev,
+                                  self.cfg, self._polar_scale)
+        else:
+            pq = jnp.zeros((f, 4), jnp.float32).at[:, 3].set(1.0)
+            pt = jnp.zeros((f, 3), jnp.float32)
+            up = jnp.zeros((f,), bool)
+            self.state, outs = loam_run_chunk_polar(
+                self.state, ranges, self._elev, pq, pt, up, self.cfg,
+                self._polar_scale)
         self._outs.append(outs)
         self._after_chunk(f)
 
@@ -283,11 +325,16 @@ class LoamEngine:
         f = len(self._pending_scans)
         scans = jnp.asarray(np.stack(self._pending_scans))
         ns = jnp.asarray(np.asarray(self._pending_n, np.int32))
+        self._pending_scans, self._pending_n = [], []
+        scale = self.quantize_mm / 1000.0 if self.quantize_mm > 0 else 1.0
+        if self.mesh is not None:
+            outs = self._run_mesh(lo_run_chunk, scans, ns, self.cfg, scale)
+            self._outs.append(outs)
+            self._after_chunk(f)
+            return
         pq = jnp.zeros((f, 4), jnp.float32).at[:, 3].set(1.0)
         pt = jnp.zeros((f, 3), jnp.float32)
         up = jnp.zeros((f,), bool)
-        self._pending_scans, self._pending_n = [], []
-        scale = self.quantize_mm / 1000.0 if self.quantize_mm > 0 else 1.0
         if f == self.chunk:
             self.state, outs = loam_run_chunk(self.state, scans, ns, pq, pt,
                                               up, self.cfg, scale)
@@ -301,6 +348,12 @@ class LoamEngine:
         """[N, OUT_DIM] packed results (one flattened download)."""
         self._flush()
         self._flush_polar()
+        if self.mesh is not None and self._win:
+            win = np.asarray(jnp.concatenate(self._win, axis=0))
+            self.window_active_rows = (int(win.max()),
+                                       self._mesh_window_rows
+                                       * self.mesh.devices.size)
+            self._win = []
         if not self._outs:
             return np.zeros((0, OUT_DIM), np.float32)
         stacked = jnp.concatenate(self._outs, axis=0).reshape(-1)
@@ -374,64 +427,272 @@ def loam_run_chunk_dyn(state, scans, n_pts, prior_q, prior_t, use_prior, cfg,
     return jax.lax.scan(body, state, (scans, n_pts, prior_q, prior_t, use_prior))
 
 
-@partial(jax.jit, static_argnames=("cfg", "scale"), donate_argnums=(0,))
-def loam_run_chunk_batch(states, scans, n_pts, cfg: PipelineConfig,
-                         scale: float = 1.0):
-    """Advance B independent sequences x F frames: vmap over sequences
-    inside a scan over frames (the multi-drive batch runner — one chip
-    processes a whole KITTI suite concurrently).
+class LoChunkState(NamedTuple):
+    """Recurrent state of the lidar-only scanreg+LO half-program (used when
+    the mapping stage runs as a SEPARATE chunk — e.g. sharded over a mesh,
+    parallel/mesh_fused.py). Mirrors vloam_step.VisionLoState minus the
+    vision buffers."""
 
-    states: LoamState with leading batch dim B; scans [B, F, N, 3] float32
-    OR int16 (x scale, dequantized on device — upload bytes dominate the
-    batch path); n_pts [B, F]. Returns (states, outs [B, F, OUT_DIM])."""
+    corner_last: RingSlab
+    surf_last: RingSlab
+    q_f2f: jnp.ndarray
+    t_f2f: jnp.ndarray
+    q_w: jnp.ndarray
+    t_w: jnp.ndarray
+    frame_idx: jnp.ndarray
+
+    @staticmethod
+    def create(cfg: PipelineConfig) -> "LoChunkState":
+        sr = cfg.scanreg
+        S = cfg.lidar.n_scans
+        return LoChunkState(
+            corner_last=RingSlab.empty(S, sr.less_sharp_cap // S),
+            surf_last=RingSlab.empty(S, sr.less_flat_cap // S),
+            q_f2f=jnp.asarray([0, 0, 0, 1], jnp.float32),
+            t_f2f=jnp.zeros(3, jnp.float32),
+            q_w=jnp.asarray([0, 0, 0, 1], jnp.float32),
+            t_w=jnp.zeros(3, jnp.float32),
+            frame_idx=jnp.int32(0),
+        )
+
+
+def _lo_frame(st: LoChunkState, feats, cfg: PipelineConfig):
+    """scanreg features -> LO f2f + world pose + voxel-downsampled mapping
+    stacks (the first half of loam_frame_step_feats, without the mapping
+    solve). Returns (st', out [16], (c_xyz, c_m, s_xyz, s_m))."""
+    initialized = st.frame_idx > 0
+    q_s, t_s, n_c, n_s = solve_lo(feats.sharp, feats.flat, st.corner_last,
+                                  st.surf_last, st.q_f2f, st.t_f2f, cfg.lo)
+    q = jnp.where(initialized, q_s, jnp.asarray([0, 0, 0, 1], jnp.float32))
+    t = jnp.where(initialized, t_s, jnp.zeros(3, jnp.float32))
+    n_c = jnp.where(initialized, n_c, 0)
+    n_s = jnp.where(initialized, n_s, 0)
+    q_w = jnp.where(initialized,
+                    so3.quat_normalize(so3.quat_multiply(st.q_w, q)), st.q_w)
+    t_w = jnp.where(initialized, st.t_w + so3.quat_rotate(st.q_w, t),
+                    st.t_w)
+    c_xyz, _, _, c_m = voxel_downsample(
+        feats.less_sharp.xyz, feats.less_sharp.mask,
+        cfg.mapping.line_resolution, cfg.mapping.corner_stack_cap)
+    s_xyz, _, _, s_m = voxel_downsample(
+        feats.less_flat.xyz, feats.less_flat.mask,
+        cfg.mapping.plane_resolution, cfg.mapping.surf_stack_cap)
+    new_st = LoChunkState(
+        corner_last=feats.less_sharp_slab, surf_last=feats.less_flat_slab,
+        q_f2f=q, t_f2f=t, q_w=q_w, t_w=t_w, frame_idx=st.frame_idx + 1)
+    out = jnp.concatenate([
+        q, t, q_w, t_w, jnp.asarray([n_c, n_s], jnp.float32),
+    ]).astype(jnp.float32)
+    return new_st, out, (c_xyz, c_m, s_xyz, s_m)
+
+
+@partial(jax.jit, static_argnames=("cfg", "scale"), donate_argnums=(0,))
+def lo_run_chunk(state: LoChunkState, scans, n_pts, cfg: PipelineConfig,
+                 scale: float = 1.0):
+    """scanreg+LO over F frames from xyz buffers (no mapping). Returns
+    (state', outs [F, 16], stacks 4-tuple of [F, ...])."""
+    if scans.dtype != jnp.float32:
+        scans = scans.astype(jnp.float32) * scale
+
+    def body(st, inp):
+        scan, n = inp
+        feats = register_scan(scan, n, cfg.lidar, cfg.scanreg)
+        st, out, stacks = _lo_frame(st, feats, cfg)
+        return st, (out, stacks)
+
+    state, (outs, stacks) = jax.lax.scan(body, state, (scans, n_pts))
+    return state, outs, stacks
+
+
+@partial(jax.jit, static_argnames=("cfg", "scale"), donate_argnums=(0,))
+def lo_run_chunk_polar(state: LoChunkState, ranges, elev_rad,
+                       cfg: PipelineConfig, scale: float = 0.005):
+    """Polar-ingest scanreg+LO chunk (no mapping)."""
+
+    def body(st, r_img):
+        feats = register_scan_polar(r_img, elev_rad, cfg.lidar, cfg.scanreg,
+                                    scale)
+        st, out, stacks = _lo_frame(st, feats, cfg)
+        return st, (out, stacks)
+
+    state, (outs, stacks) = jax.lax.scan(body, state, ranges)
+    return state, outs, stacks
+
+
+class BatchLoamState(NamedTuple):
+    """B concurrent sequences' LOAM state. Per-stream recurrent state is
+    stacked ([B, ...] leaves); the map lives in the FLAT-batched grid
+    (batch_mapping.BatchGridMap — the stream axis is folded into the
+    hash-bucket axis so the mapping stage's gathers/sorts/scatters are
+    single flat ops instead of per-lane vmapped ones)."""
+
+    corner_last: RingSlab  # leaves [B, S, C, ...]
+    surf_last: RingSlab
+    q_f2f: jnp.ndarray  # [B, 4]
+    t_f2f: jnp.ndarray  # [B, 3]
+    q_w: jnp.ndarray  # [B, 4]
+    t_w: jnp.ndarray  # [B, 3]
+    gm: "BatchGridMap"
+    q_wmap_wodom: jnp.ndarray  # [B, 4]
+    t_wmap_wodom: jnp.ndarray  # [B, 3]
+    frame_idx: jnp.ndarray  # [] int32 (streams advance in lockstep)
+
+    @staticmethod
+    def create(cfg: PipelineConfig, batch: int) -> "BatchLoamState":
+        from .batch_mapping import BatchGridMap
+
+        sr = cfg.scanreg
+        S = cfg.lidar.n_scans
+
+        def stack(x):
+            return jnp.broadcast_to(x, (batch,) + x.shape).copy()
+
+        slab_c = RingSlab.empty(S, sr.less_sharp_cap // S)
+        slab_s = RingSlab.empty(S, sr.less_flat_cap // S)
+        return BatchLoamState(
+            corner_last=jax.tree_util.tree_map(stack, slab_c),
+            surf_last=jax.tree_util.tree_map(stack, slab_s),
+            q_f2f=stack(jnp.asarray([0, 0, 0, 1], jnp.float32)),
+            t_f2f=jnp.zeros((batch, 3), jnp.float32),
+            q_w=stack(jnp.asarray([0, 0, 0, 1], jnp.float32)),
+            t_w=jnp.zeros((batch, 3), jnp.float32),
+            gm=BatchGridMap.create(cfg.mapping, batch),
+            q_wmap_wodom=stack(jnp.asarray([0, 0, 0, 1], jnp.float32)),
+            t_wmap_wodom=jnp.zeros((batch, 3), jnp.float32),
+            frame_idx=jnp.int32(0),
+        )
+
+
+def batch_frame_step_feats(state: BatchLoamState, feats, cfg: PipelineConfig,
+                           batch: int):
+    """One lockstep frame for B streams from stacked features; returns
+    (new_state, out [B, OUT_DIM]). Per-stream semantics match
+    loam_frame_step_feats; the mapping stage runs flat-batched
+    (batch_mapping.batch_solve_mapping) and eviction is deferred to chunk
+    boundaries (batch_map_evict)."""
+    from .batch_mapping import batch_solve_mapping
+
+    initialized = state.frame_idx > 0
+
+    q_s, t_s, n_c, n_s = jax.vmap(
+        lambda sh, fl, cl, sl, q0, t0: solve_lo(sh, fl, cl, sl, q0, t0,
+                                                cfg.lo)
+    )(feats.sharp, feats.flat, state.corner_last, state.surf_last,
+      state.q_f2f, state.t_f2f)
+    ident_q = jnp.broadcast_to(jnp.asarray([0, 0, 0, 1], jnp.float32),
+                               (batch, 4))
+    q = jnp.where(initialized, q_s, ident_q)
+    t = jnp.where(initialized, t_s, jnp.zeros((batch, 3), jnp.float32))
+    n_c = jnp.where(initialized, n_c, 0)
+    n_s = jnp.where(initialized, n_s, 0)
+
+    q_w = jnp.where(initialized,
+                    so3.quat_normalize(so3.quat_multiply(state.q_w, q)),
+                    state.q_w)
+    t_w = jnp.where(initialized, state.t_w + so3.quat_rotate(state.q_w, t),
+                    state.t_w)
+
+    c_xyz, _, _, c_m = jax.vmap(lambda x, m: voxel_downsample(
+        x, m, cfg.mapping.line_resolution, cfg.mapping.corner_stack_cap))(
+        feats.less_sharp.xyz, feats.less_sharp.mask)
+    s_xyz, _, _, s_m = jax.vmap(lambda x, m: voxel_downsample(
+        x, m, cfg.mapping.plane_resolution, cfg.mapping.surf_stack_cap))(
+        feats.less_flat.xyz, feats.less_flat.mask)
+
+    q_pred = so3.quat_normalize(so3.quat_multiply(state.q_wmap_wodom, q_w))
+    t_pred = state.t_wmap_wodom + so3.quat_rotate(state.q_wmap_wodom, t_w)
+
+    if cfg.lo.mapping_skip_frame == 1:
+        mapped = jnp.bool_(True)
+        gm, q_m, t_m = batch_solve_mapping(state.gm, c_xyz, c_m, s_xyz, s_m,
+                                           q_pred, t_pred, cfg.mapping, batch)
+    else:
+        # streams advance in lockstep, so the skip predicate is scalar
+        mapped = (state.frame_idx % cfg.lo.mapping_skip_frame) == 0
+        gm, q_m, t_m = jax.lax.cond(
+            mapped,
+            lambda g: batch_solve_mapping(g, c_xyz, c_m, s_xyz, s_m, q_pred,
+                                          t_pred, cfg.mapping, batch),
+            lambda g: (g, q_pred, t_pred),
+            state.gm)
+
+    q_off = so3.quat_normalize(
+        so3.quat_multiply(q_m, so3.quat_conjugate(q_w)))
+    t_off = t_m - so3.quat_rotate(q_off, t_w)
+    q_wmap_wodom = jnp.where(mapped, q_off, state.q_wmap_wodom)
+    t_wmap_wodom = jnp.where(mapped, t_off, state.t_wmap_wodom)
+
+    new_state = BatchLoamState(
+        corner_last=feats.less_sharp_slab,
+        surf_last=feats.less_flat_slab,
+        q_f2f=q, t_f2f=t, q_w=q_w, t_w=t_w,
+        gm=gm, q_wmap_wodom=q_wmap_wodom, t_wmap_wodom=t_wmap_wodom,
+        frame_idx=state.frame_idx + 1,
+    )
+    mapped_col = jnp.broadcast_to(mapped.astype(jnp.float32), (batch,))
+    out = jnp.concatenate([
+        q, t, q_w, t_w, q_m, t_m,
+        jnp.stack([n_c.astype(jnp.float32), n_s.astype(jnp.float32),
+                   mapped_col], axis=1),
+    ], axis=1).astype(jnp.float32)
+    return new_state, out
+
+
+def _batch_chunk_epilogue(state: BatchLoamState, cfg: PipelineConfig,
+                          batch: int):
+    """Chunk-boundary map maintenance: recenter streams that crossed a cube
+    boundary (see batch_mapping.batch_map_evict)."""
+    from .batch_mapping import batch_map_evict
+
+    t_map = state.t_wmap_wodom + so3.quat_rotate(state.q_wmap_wodom,
+                                                 state.t_w)
+    return state._replace(gm=batch_map_evict(state.gm, t_map, cfg.mapping,
+                                             batch))
+
+
+@partial(jax.jit, static_argnames=("cfg", "scale"), donate_argnums=(0,))
+def loam_run_chunk_batch(states: BatchLoamState, scans, n_pts,
+                         cfg: PipelineConfig, scale: float = 1.0):
+    """Advance B independent sequences x F frames (the multi-drive batch
+    runner — one chip processes a whole KITTI suite concurrently).
+
+    scans [B, F, N, 3] float32 OR int16 (x scale, dequantized on device);
+    n_pts [B, F]. Returns (states, outs [B, F, OUT_DIM])."""
     if scans.dtype != jnp.float32:
         scans = scans.astype(jnp.float32) * scale
     B = scans.shape[0]
-    pq = jnp.zeros((B, 4), jnp.float32).at[:, 3].set(1.0)
-    pt = jnp.zeros((B, 3), jnp.float32)
-    up = jnp.zeros((B,), bool)
 
     def frame_body(sts, inp):
         scan_b, n_b = inp  # [B, N, 3], [B]
-        return jax.vmap(
-            lambda s, sc, nn, qq, tt, uu: loam_frame_step(s, sc, nn, qq, tt,
-                                                          uu, cfg)
-        )(sts, scan_b, n_b, pq, pt, up)
+        feats = jax.vmap(lambda s, n: register_scan(s, n, cfg.lidar,
+                                                    cfg.scanreg))(scan_b, n_b)
+        return batch_frame_step_feats(sts, feats, cfg, B)
 
     states, outs = jax.lax.scan(
         frame_body, states, (scans.swapaxes(0, 1), n_pts.T)
     )
-    return states, outs.swapaxes(0, 1)
+    return _batch_chunk_epilogue(states, cfg, B), outs.swapaxes(0, 1)
 
 
 @partial(jax.jit, static_argnames=("cfg", "scale"), donate_argnums=(0,))
-def loam_run_chunk_batch_polar(states, ranges, elev_rad,
+def loam_run_chunk_batch_polar(states: BatchLoamState, ranges, elev_rad,
                                cfg: PipelineConfig, scale: float = 0.005):
     """Polar-ingest batch chunk: ranges [B, F, S, A] uint16 quantized range
-    images (2 bytes/ray — the smallest possible upload; the batch path is
-    upload-bound on the tunnel backend). vmap over B sequences inside a
-    scan over F frames."""
-    def frame_body(sts, r_b):  # r_b: [B, S, A]
-        def one(st, r_img):
-            feats = register_scan_polar(r_img, elev_rad, cfg.lidar,
-                                        cfg.scanreg, scale)
-            pq = jnp.asarray([0, 0, 0, 1], jnp.float32)
-            pt = jnp.zeros(3, jnp.float32)
-            return loam_frame_step_feats(st, feats, pq, pt, jnp.bool_(False),
-                                         cfg)
+    images (2 bytes/ray — the smallest possible upload)."""
+    B = ranges.shape[0]
 
-        return jax.vmap(one)(sts, r_b)
+    def frame_body(sts, r_b):  # r_b: [B, S, A]
+        feats = jax.vmap(lambda r: register_scan_polar(
+            r, elev_rad, cfg.lidar, cfg.scanreg, scale))(r_b)
+        return batch_frame_step_feats(sts, feats, cfg, B)
 
     states, outs = jax.lax.scan(frame_body, states, ranges.swapaxes(0, 1))
-    return states, outs.swapaxes(0, 1)
+    return _batch_chunk_epilogue(states, cfg, B), outs.swapaxes(0, 1)
 
 
-def batch_states(cfg: PipelineConfig, batch: int) -> LoamState:
-    """B stacked fresh LoamStates."""
-    one = LoamState.create(cfg)
-    return jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, (batch,) + x.shape).copy(), one
-    )
+def batch_states(cfg: PipelineConfig, batch: int) -> BatchLoamState:
+    """B fresh lockstep sequences sharing one flat-batched map."""
+    return BatchLoamState.create(cfg, batch)
 
 
 class BatchLoamEngine:

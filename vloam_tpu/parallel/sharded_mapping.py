@@ -116,6 +116,83 @@ def _accumulate(res_fn, w_mask, huber_delta):
     return H, g, cost
 
 
+def aligned_rounds(c_stack, c_mask, s_stack, s_mask, mc, mc_m, ms, ms_m, x,
+                   cfg: LaserMappingConfig, axis: str, D: int):
+    """Per-device body of the distributed scan-to-map refinement — call
+    INSIDE a shard_map over `axis` (used by sharded_map_alignment below and
+    by the fused-engine mesh mapping chunk, parallel/mesh_fused.py).
+    c/s_stack are this device's LOCAL scan points; mc/ms are its LOCAL map
+    candidate shard (rotated around the ring). Returns (x [7] replicated by
+    psums, n_local accepted residuals on this device)."""
+
+    def round_body(_, carry):
+        x, _ = carry
+        q, t = x[:4], x[4:]
+        pc = so3.quat_rotate(q, c_stack) + t
+        ps = so3.quat_rotate(q, s_stack) + t
+        d_c, near_c = _ring_knn(pc, mc, mc_m, cfg.knn, axis, D)
+        d_s, near_s = _ring_knn(ps, ms, ms_m, cfg.knn, axis, D)
+        a, b, de, w_c = _corner_geometry(c_mask, near_c, d_c, cfg)
+        n_hat, nood, w_s = _surf_geometry(s_mask, near_s, d_s, cfg)
+
+        def fams_at(x_in):
+            def fn_c(delta):
+                qd = so3.quat_multiply(x_in[:4],
+                                       so3.quat_from_axis_angle(delta[:3]))
+                td = x_in[4:] + delta[3:]
+                pw = so3.quat_rotate(qd, c_stack) + td
+                nu = jnp.cross(pw - a, pw - b)
+                return nu / jnp.maximum(de, 1e-9)[:, None]
+
+            def fn_s(delta):
+                qd = so3.quat_multiply(x_in[:4],
+                                       so3.quat_from_axis_angle(delta[:3]))
+                td = x_in[4:] + delta[3:]
+                pw = so3.quat_rotate(qd, s_stack) + td
+                return (jnp.sum(pw * n_hat, axis=-1) + nood)[:, None]
+
+            return fn_c, fn_s
+
+        def local_cost(x_in):
+            fn_c, fn_s = fams_at(x_in)
+            z = jnp.zeros(6, jnp.float32)
+            cc = jnp.sum(huber_cost(
+                jnp.sum(fn_c(z) ** 2, axis=-1), cfg.huber_delta) * w_c)
+            cs = jnp.sum(huber_cost(
+                jnp.sum(fn_s(z) ** 2, axis=-1), cfg.huber_delta) * w_s)
+            return cc + cs
+
+        # LM with accept/reject damping — the exact update rule of
+        # solver.lm.lm_solve, with every scalar reduction (H, g, cost)
+        # psum'd across the mesh so all devices take identical branches
+        def lm_body(_, carry):
+            x_in, lam = carry
+            fn_c, fn_s = fams_at(x_in)
+            # per-shard partial normal equations over LOCAL scan points,
+            # reduced with ONE psum — the Schur-style 6x6 reduction
+            Hc, gc, cc = _accumulate(fn_c, w_c, cfg.huber_delta)
+            Hs, gs, cs = _accumulate(fn_s, w_s, cfg.huber_delta)
+            H = jax.lax.psum(Hc + Hs, axis)
+            g = jax.lax.psum(gc + gs, axis)
+            cost = jax.lax.psum(cc + cs, axis)
+            delta = solve_damped(H, g, lam)
+            x_try = _retract(x_in, -delta)
+            cost_try = jax.lax.psum(local_cost(x_try), axis)
+            accept = cost_try < cost
+            x_new = jnp.where(accept, x_try, x_in)
+            lam_new = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-7),
+                                jnp.minimum(lam * 8.0, 1e2))
+            return x_new, lam_new
+
+        x_new, _ = jax.lax.fori_loop(0, cfg.gn_iterations, lm_body,
+                                     (x, jnp.float32(1e-4)))
+        n_loc = jnp.sum(w_c) + jnp.sum(w_s)
+        return x_new, n_loc
+
+    return jax.lax.fori_loop(0, cfg.outer_rounds, round_body,
+                             (x, jnp.float32(0)))
+
+
 def sharded_map_alignment(
     mesh: Mesh,
     corner_stack: jnp.ndarray,  # [Bc, 3] sharded over axis (Bc % D == 0)
@@ -141,72 +218,8 @@ def sharded_map_alignment(
                        P(axis), P(axis), P(axis), P(axis), P()),
              out_specs=(P(), P(axis)), check_vma=False)
     def run(c_stack, c_mask, s_stack, s_mask, mc, mc_m, ms, ms_m, x):
-        def round_body(_, carry):
-            x, _ = carry
-            q, t = x[:4], x[4:]
-            pc = so3.quat_rotate(q, c_stack) + t
-            ps = so3.quat_rotate(q, s_stack) + t
-            d_c, near_c = _ring_knn(pc, mc, mc_m, cfg.knn, axis, D)
-            d_s, near_s = _ring_knn(ps, ms, ms_m, cfg.knn, axis, D)
-            a, b, de, w_c = _corner_geometry(c_mask, near_c, d_c, cfg)
-            n_hat, nood, w_s = _surf_geometry(s_mask, near_s, d_s, cfg)
-
-            def fams_at(x_in):
-                def fn_c(delta):
-                    qd = so3.quat_multiply(x_in[:4],
-                                           so3.quat_from_axis_angle(delta[:3]))
-                    td = x_in[4:] + delta[3:]
-                    pw = so3.quat_rotate(qd, c_stack) + td
-                    nu = jnp.cross(pw - a, pw - b)
-                    return nu / jnp.maximum(de, 1e-9)[:, None]
-
-                def fn_s(delta):
-                    qd = so3.quat_multiply(x_in[:4],
-                                           so3.quat_from_axis_angle(delta[:3]))
-                    td = x_in[4:] + delta[3:]
-                    pw = so3.quat_rotate(qd, s_stack) + td
-                    return (jnp.sum(pw * n_hat, axis=-1) + nood)[:, None]
-
-                return fn_c, fn_s
-
-            def local_cost(x_in):
-                fn_c, fn_s = fams_at(x_in)
-                z = jnp.zeros(6, jnp.float32)
-                cc = jnp.sum(huber_cost(
-                    jnp.sum(fn_c(z) ** 2, axis=-1), cfg.huber_delta) * w_c)
-                cs = jnp.sum(huber_cost(
-                    jnp.sum(fn_s(z) ** 2, axis=-1), cfg.huber_delta) * w_s)
-                return cc + cs
-
-            # LM with accept/reject damping — the exact update rule of
-            # solver.lm.lm_solve, with every scalar reduction (H, g, cost)
-            # psum'd across the mesh so all devices take identical branches
-            def lm_body(_, carry):
-                x_in, lam = carry
-                fn_c, fn_s = fams_at(x_in)
-                # per-shard partial normal equations over LOCAL scan points,
-                # reduced with ONE psum — the Schur-style 6x6 reduction
-                Hc, gc, cc = _accumulate(fn_c, w_c, cfg.huber_delta)
-                Hs, gs, cs = _accumulate(fn_s, w_s, cfg.huber_delta)
-                H = jax.lax.psum(Hc + Hs, axis)
-                g = jax.lax.psum(gc + gs, axis)
-                cost = jax.lax.psum(cc + cs, axis)
-                delta = solve_damped(H, g, lam)
-                x_try = _retract(x_in, -delta)
-                cost_try = jax.lax.psum(local_cost(x_try), axis)
-                accept = cost_try < cost
-                x_new = jnp.where(accept, x_try, x_in)
-                lam_new = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-7),
-                                    jnp.minimum(lam * 8.0, 1e2))
-                return x_new, lam_new
-
-            x_new, _ = jax.lax.fori_loop(0, cfg.gn_iterations, lm_body,
-                                         (x, jnp.float32(1e-4)))
-            n_loc = jnp.sum(w_c) + jnp.sum(w_s)
-            return x_new, n_loc
-
-        x_out, n_loc = jax.lax.fori_loop(0, cfg.outer_rounds, round_body,
-                                         (x, jnp.float32(0)))
+        x_out, n_loc = aligned_rounds(c_stack, c_mask, s_stack, s_mask,
+                                      mc, mc_m, ms, ms_m, x, cfg, axis, D)
         return x_out, n_loc[None]
 
     x, counts = run(corner_stack, corner_mask, surf_stack, surf_mask,

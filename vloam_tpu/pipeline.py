@@ -160,7 +160,8 @@ def run_sequence_fused(cfg: PipelineConfig, calib, frames,
                        lidar_only: bool = False, verbose: int = 0,
                        save_map: str | None = None,
                        init_state: str | None = None,
-                       save_state_path: str | None = None) -> dict:
+                       save_state_path: str | None = None,
+                       mesh=None) -> dict:
     """Drive a sequence through the fused device-resident engines (one jit
     call per chunk of frames, one download per sequence). Returns the
     exported trajectories (+ fps). save_map: directory receiving the
@@ -182,7 +183,11 @@ def run_sequence_fused(cfg: PipelineConfig, calib, frames,
     if lidar_only:
         from .lidar.loam_step import LoamEngine, unpack_outputs
 
-        eng = LoamEngine(cfg, chunk=chunk, map_callback=map_cb)
+        eng = LoamEngine(cfg, chunk=chunk, map_callback=map_cb, mesh=mesh)
+        if mesh is not None and (init_state or save_state_path):
+            raise NotImplementedError(
+                "checkpointing the mesh-sharded map is not wired up yet; "
+                "run --mesh without --init-state/--save-state")
         if init_state is not None:
             from .runtime.checkpoint import load_state
 
@@ -219,7 +224,12 @@ def run_sequence_fused(cfg: PipelineConfig, calib, frames,
     else:
         from .vloam_step import VloamEngine, unpack_vloam_outputs
 
-        eng = VloamEngine(cfg, calib, chunk=chunk, map_callback=map_cb)
+        eng = VloamEngine(cfg, calib, chunk=chunk, map_callback=map_cb,
+                          mesh=mesh)
+        if mesh is not None and (init_state or save_state_path):
+            raise NotImplementedError(
+                "checkpointing the mesh-sharded map is not wired up yet; "
+                "run --mesh without --init-state/--save-state")
         if init_state is not None:
             from .runtime.checkpoint import load_state
 
@@ -243,6 +253,12 @@ def run_sequence_fused(cfg: PipelineConfig, calib, frames,
         result["raw"] = raw
     dt = time.perf_counter() - t0
     result["fps"] = n_frames / max(dt, 1e-9)
+    if mesh is not None:
+        active, cap = eng.window_active_rows
+        result["mesh_window"] = {"active_rows_max": active, "cap": cap}
+        if verbose:
+            print(f"mesh mapping: peak active map rows {active} / window "
+                  f"cap {cap}", flush=True)
 
     if out_dir is not None and cfg.save_traj:
         Path(out_dir).mkdir(parents=True, exist_ok=True)

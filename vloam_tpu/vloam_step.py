@@ -142,6 +142,7 @@ def _vision_frame_core(
         a_seed = jnp.zeros(3, jnp.float32)
         t_seed = jnp.zeros(3, jnp.float32)
 
+    used_flow = jnp.bool_(False)
     if cfg.vo.optical_flow_match:
         xy1, status = lk_flow(vstate.prev_img, img, vstate.prev_kp, cfg.vo)
         prev_uv, curr_uv = vstate.prev_kp, xy1
@@ -154,17 +155,49 @@ def _vision_frame_core(
         prev_uv = vstate.prev_kp
         curr_uv = xy[idx1]
         valid = ok
+        if cfg.vo.lowtex_fallback:
+            # descriptor matching collapsed (low-texture regime): re-match
+            # the same frame pair by LK flow — gradient-based tracking
+            # survives faint texture that defeats the ratio test (the
+            # reference's alternative matcher, image_util.cpp:351-372).
+            # Flow-recovered frames feed ONLY the exported VO stream: the
+            # prior gate below refuses them (vo_ok requires a descriptor-
+            # healthy solve), so a flow solve can never seed LO.
+            xy1, status = lk_flow(vstate.prev_img, img, vstate.prev_kp,
+                                  cfg.vo)
+            fvalid = vstate.prev_kp_mask & status
+            used_flow = jnp.sum(valid) < cfg.vo.min_vo_matches
+            curr_uv = jnp.where(used_flow, xy1, curr_uv)
+            valid = jnp.where(used_flow, fvalid, valid)
     valid = valid & initialized
 
     angles, t_vo, n32, n22 = solve_vo(
         prev_uv, curr_uv, valid, vstate.prev_grid, ext.K,
         a_seed.astype(jnp.float32), t_seed.astype(jnp.float32), cfg.vo)
     q_vo = so3.quat_from_axis_angle(angles)
-    vo_ok = (initialized & jnp.all(jnp.isfinite(angles))
-             & jnp.all(jnp.isfinite(t_vo))
-             & (n32 + n22 >= cfg.vo.min_vo_matches))
-    q_vo = jnp.where(vo_ok, q_vo, jnp.asarray([0, 0, 0, 1], jnp.float32))
-    t_vo = jnp.where(vo_ok, t_vo, jnp.zeros(3, jnp.float32))
+    solve_ok = (initialized & jnp.all(jnp.isfinite(angles))
+                & jnp.all(jnp.isfinite(t_vo))
+                & (n32 + n22 >= cfg.vo.min_vo_matches))
+    if cfg.vo.lowtex_fallback:
+        # vo_ok gates the LO prior: ONLY descriptor-healthy solves are
+        # trusted (a flow re-match keeps the exported stream alive but is
+        # not allowed to seed LO — flow on textureless input can return
+        # confidently-wrong tracks). Export tiers: solve (desc or flow)
+        # -> LO-derived seed (what the reference's solve returns with zero
+        # usable residuals) -> identity.
+        vo_ok = solve_ok & jnp.logical_not(used_flow)
+        q_fb = so3.quat_from_axis_angle(a_seed.astype(jnp.float32))
+        t_fb = jnp.where(jnp.all(jnp.isfinite(t_seed)),
+                         t_seed.astype(jnp.float32),
+                         jnp.zeros(3, jnp.float32))
+        q_fb = jnp.where(jnp.all(jnp.isfinite(q_fb)), q_fb,
+                         jnp.asarray([0, 0, 0, 1], jnp.float32))
+        q_vo = jnp.where(solve_ok, q_vo, q_fb)
+        t_vo = jnp.where(solve_ok, t_vo, t_fb)
+    else:
+        vo_ok = solve_ok
+        q_vo = jnp.where(vo_ok, q_vo, jnp.asarray([0, 0, 0, 1], jnp.float32))
+        t_vo = jnp.where(vo_ok, t_vo, jnp.zeros(3, jnp.float32))
 
     q_vo_i, t_vo_i = _invert(q_vo, t_vo)
     qv_i, tv_i = _invert(ext.q_velo_cam, ext.t_velo_cam)
@@ -459,9 +492,16 @@ class VloamEngine:
     outputs are fetched in finish()."""
 
     def __init__(self, cfg: PipelineConfig, calib, chunk: int = 8,
-                 map_callback=None):
+                 map_callback=None, mesh=None, mesh_window_rows: int = 4096):
+        """mesh: a jax.sharding.Mesh — run the mapping chunk as distributed
+        BA sharded over the mesh (parallel/mesh_fused.py) while the
+        vision+LO chunk stays single-device. `window_active_rows` reports
+        the peak active-map row count vs the window cap after finish()."""
         self.cfg = cfg
         self.chunk = chunk
+        self.mesh = mesh
+        self.window_active_rows = (0, 0)
+        self._win: list = []
         self.ext = CamExtrinsics.from_calib(calib)
         # Polar ingest decodes only the forward +-(polar_fov_fraction*pi)
         # azimuth wedge for the depth grid; a camera yawed outside that
@@ -486,7 +526,17 @@ class VloamEngine:
         self.map_callback = map_callback
         self._next_pub = cfg.mapping.map_pub_number
         self.vstate = VisionLoState.create(cfg)
-        self.lstate = MapState.create(cfg)
+        if mesh is None:
+            self.lstate = MapState.create(cfg)
+            self._map_chunk = None
+        else:
+            from .parallel.mesh_fused import (make_mesh_mapping_chunk,
+                                              shard_map_state)
+
+            self.lstate = shard_map_state(MapState.create(cfg), mesh)
+            self._map_chunk = make_mesh_mapping_chunk(
+                mesh, cfg, window_rows=mesh_window_rows)
+            self._mesh_window_rows = mesh_window_rows
         self._outs = []  # device arrays [F, VLOAM_OUT_DIM]
         self._scans: list[np.ndarray] = []
         self._ns: list[int] = []
@@ -500,6 +550,21 @@ class VloamEngine:
     def state(self):
         """Pytree to block on (API compat with the old fused engine)."""
         return (self.vstate, self.lstate)
+
+    def _run_mapping(self, stacks, vl_out):
+        """Program 2: single-device mapping chunk, or the shard_map'd
+        distributed-BA chunk when a mesh was given."""
+        c_xyz, c_m, s_xyz, s_m = stacks
+        if self._map_chunk is not None:
+            self.lstate, mo_out = self._map_chunk(
+                self.lstate, c_xyz, c_m, s_xyz, s_m,
+                vl_out[:, 7:11], vl_out[:, 11:14])
+            self._win.append(mo_out[:, 8:10])
+        else:
+            self.lstate, mo_out = mapping_run_chunk(
+                self.lstate, c_xyz, c_m, s_xyz, s_m,
+                vl_out[:, 7:11], vl_out[:, 11:14], self.cfg)
+        return mo_out
 
     def _assemble(self, vl_out, mo_out):
         """Pack the two programs' outputs into the VLOAM_OUT_DIM row
@@ -560,10 +625,7 @@ class VloamEngine:
         self.vstate, vl_out, stacks = vision_lo_run_chunk_polar(
             self.vstate, ranges, self._elev, imgs, self.ext, self.cfg,
             self._polar_scale)
-        c_xyz, c_m, s_xyz, s_m = stacks
-        self.lstate, mo_out = mapping_run_chunk(
-            self.lstate, c_xyz, c_m, s_xyz, s_m,
-            vl_out[:, 7:11], vl_out[:, 11:14], self.cfg)
+        mo_out = self._run_mapping(stacks, vl_out)
         self._outs.append(self._assemble(vl_out, mo_out))
         self._frame += f
         self._maybe_publish_map()
@@ -579,10 +641,7 @@ class VloamEngine:
 
         self.vstate, vl_out, stacks = vision_lo_run_chunk(
             self.vstate, scans, ns, imgs, self.ext, self.cfg)
-        c_xyz, c_m, s_xyz, s_m = stacks
-        self.lstate, mo_out = mapping_run_chunk(
-            self.lstate, c_xyz, c_m, s_xyz, s_m,
-            vl_out[:, 7:11], vl_out[:, 11:14], self.cfg)
+        mo_out = self._run_mapping(stacks, vl_out)
         self._outs.append(self._assemble(vl_out, mo_out))
         self._frame += f
         self._maybe_publish_map()
@@ -599,6 +658,12 @@ class VloamEngine:
     def finish(self) -> np.ndarray:
         self._flush()
         self._flush_polar()
+        if self.mesh is not None and self._win:
+            win = np.asarray(jnp.concatenate(self._win, axis=0))
+            self.window_active_rows = (int(win.max()),
+                                       self._mesh_window_rows
+                                       * self.mesh.devices.size)
+            self._win = []
         if not self._outs:
             return np.zeros((0, VLOAM_OUT_DIM), np.float32)
         stacked = jnp.concatenate(self._outs, axis=0).reshape(-1)
