@@ -125,16 +125,20 @@ def _bench_combined(cfg, scene):
     # 3x between minutes (19-63 MB/s measured), and the combined mode
     # uploads ~0.7 MB/frame — a single window inherits whatever transport
     # weather it ran in; max-of-windows reports the sustained device rate
+    # window = TWO passes over the measured frames with one fence at the
+    # end: the fence round trip (~70 ms) is a finish()-only cost in
+    # production and under-reports short windows (see the lidar metric)
     rates = []
     k0 = n_warm
+    win = 2 * n_meas
     for _ in range(3):
         t0 = time.perf_counter()
-        for k in range(k0, k0 + n_meas):
+        for k in range(k0, k0 + win):
             eng.push_polar(scans[k % (n_warm + n_meas)],
                            imgs[k % (n_warm + n_meas)])
         fence(eng.state)
-        rates.append(n_meas / (time.perf_counter() - t0))
-        k0 += n_meas
+        rates.append(win / (time.perf_counter() - t0))
+        k0 += win
     return max(rates), sorted(rates)[1]
 
 
@@ -232,10 +236,14 @@ def main():
     fence(eng.state)
     # best sustained window of 3 (see _bench_combined: the tunnel's
     # bandwidth swings 3x between minutes; max-of-windows reports the
-    # sustained device rate rather than the transport weather)
+    # sustained device rate rather than the transport weather). Each
+    # window is a FULL pass over the 96 measured frames with ONE fence at
+    # the end: the fence is a tunnel round trip (~70 ms measured,
+    # scripts/profile_upload_overlap.py) that production pays only at
+    # finish(), so short windows under-reported the rate by ~2 ms/frame.
     rates = []
     k0 = n_warm
-    win = n_meas // 3
+    win = n_meas
     for _ in range(3):
         t0 = time.perf_counter()
         for k in range(k0, k0 + win):
@@ -243,6 +251,10 @@ def main():
         fence(eng.state)
         rates.append(win / (time.perf_counter() - t0))
         k0 += win
+    # fence cost, reported so the window-length choice is auditable
+    t0 = time.perf_counter()
+    fence(eng.state)
+    fence_ms = (time.perf_counter() - t0) * 1e3
     outs = unpack_outputs(eng.finish())
     assert np.isfinite(outs["t_w_mo"]).all()
     fps = max(rates)
@@ -303,6 +315,8 @@ def main():
         # transport
         "value_median": round(sorted(rates)[1], 3),
         "window_rates": [round(r, 3) for r in rates],
+        "window_frames": win,
+        "fence_ms": round(fence_ms, 1),
         "device_ms_per_frame": round(device_ms, 3),
         "upload_ms_per_frame": round(
             max(0.0, 1000.0 / fps - device_ms), 3),

@@ -195,7 +195,7 @@ class LoamEngine:
 
     def __init__(self, cfg: PipelineConfig, chunk: int = 8,
                  quantize_mm: float = 0.0, map_callback=None, mesh=None,
-                 mesh_window_rows: int = 4096):
+                 mesh_window_rows: int = 4096, pack12: bool = False):
         """map_callback(frame_idx, corner [Mc,3], surf [Ms,3]): invoked
         every cfg.mapping.map_pub_number frames with the accumulated map
         (the /laser_cloud_map publisher analogue, reference
@@ -210,6 +210,7 @@ class LoamEngine:
         self.cfg = cfg
         self.chunk = chunk
         self.quantize_mm = quantize_mm
+        self.pack12 = pack12  # 12-bit packed polar staging (see pack12())
         self.map_callback = map_callback
         self.mesh = mesh
         self.window_active_rows = (0, 0)
@@ -235,6 +236,17 @@ class LoamEngine:
         self._pending_polar: list[np.ndarray] = []
         self._elev = None
         self._polar_scale = 0.005
+        self._consts: dict[int, tuple] = {}  # f -> (pq, pt, up) on device
+
+    def _prior_consts(self, f: int):
+        """Identity-prior constants reused across flushes: re-creating
+        them per chunk costs three tiny uploads on the tunnel backend."""
+        if f not in self._consts:
+            self._consts[f] = (
+                jnp.zeros((f, 4), jnp.float32).at[:, 3].set(1.0),
+                jnp.zeros((f, 3), jnp.float32),
+                jnp.zeros((f,), bool))
+        return self._consts[f]
 
     def _after_chunk(self, n_frames: int):
         self._frames_done += n_frames
@@ -282,7 +294,8 @@ class LoamEngine:
                   else hdl64_elevations(self.cfg.lidar.n_scans))
             self._elev = jnp.asarray(np.radians(ed), jnp.float32)
         self._polar_scale = range_scale
-        self._pending_polar.append(range_img)
+        self._pending_polar.append(pack12(range_img) if self.pack12
+                                   else range_img)
         if len(self._pending_polar) >= self.chunk:
             self._flush_polar()
 
@@ -310,9 +323,7 @@ class LoamEngine:
             outs = self._run_mesh(lo_run_chunk_polar, ranges, self._elev,
                                   self.cfg, self._polar_scale)
         else:
-            pq = jnp.zeros((f, 4), jnp.float32).at[:, 3].set(1.0)
-            pt = jnp.zeros((f, 3), jnp.float32)
-            up = jnp.zeros((f,), bool)
+            pq, pt, up = self._prior_consts(f)
             self.state, outs = loam_run_chunk_polar(
                 self.state, ranges, self._elev, pq, pt, up, self.cfg,
                 self._polar_scale)
@@ -332,9 +343,7 @@ class LoamEngine:
             self._outs.append(outs)
             self._after_chunk(f)
             return
-        pq = jnp.zeros((f, 4), jnp.float32).at[:, 3].set(1.0)
-        pt = jnp.zeros((f, 3), jnp.float32)
-        up = jnp.zeros((f,), bool)
+        pq, pt, up = self._prior_consts(f)
         if f == self.chunk:
             self.state, outs = loam_run_chunk(self.state, scans, ns, pq, pt,
                                               up, self.cfg, scale)
@@ -377,6 +386,40 @@ def polar_to_xyz_cols(ranges_u16: jnp.ndarray, elev_rad: jnp.ndarray,
     return (dirs * r[:, :, None]).reshape(S * A, 3)
 
 
+def pack12(img: np.ndarray) -> np.ndarray:
+    """Host-side: pack a uint16 range image [..., A] with values < 4096
+    into 12-bit pairs [..., A//2*3] uint8 — 1.5 bytes/ray, 25% fewer
+    upload bytes than uint16. The polar ingest is transport-bound on this
+    backend (~20-60 MB/s tunnel), so upload bytes ARE wall clock; callers
+    pick a range_scale such that max range / scale < 4096 (e.g. 0.03 m ->
+    122.8 m reach at 3 cm quantization, rms error 8.7 mm — below both the
+    sensor noise model and KITTI Velodyne ranging accuracy)."""
+    assert img.dtype == np.uint16 and img.shape[-1] % 2 == 0
+    assert img.max(initial=0) < 4096, "pack12 needs range/scale < 4096"
+    a = img[..., 0::2]
+    b = img[..., 1::2]
+    out = np.empty(img.shape[:-1] + (img.shape[-1] // 2, 3), np.uint8)
+    out[..., 0] = a & 0xFF
+    out[..., 1] = (a >> 8) | ((b & 0xF) << 4)
+    out[..., 2] = b >> 4
+    return out.reshape(img.shape[:-1] + (-1,))
+
+
+def unpack12(packed: jnp.ndarray) -> jnp.ndarray:
+    """Device-side inverse of pack12: [..., A//2*3] uint8 -> [..., A]
+    uint16. Bit-exact roundtrip; fuses into the consuming scanreg chunk."""
+    lead = packed.shape[:-1]
+    trip = packed.reshape(lead + (packed.shape[-1] // 3, 3)).astype(jnp.uint16)
+    a = trip[..., 0] | ((trip[..., 1] & 0xF) << 8)
+    b = (trip[..., 1] >> 4) | (trip[..., 2] << 4)
+    return jnp.stack([a, b], axis=-1).reshape(lead + (-1,))
+
+
+def _unpack_polar(r_img: jnp.ndarray) -> jnp.ndarray:
+    """uint8 = pack12-compressed; anything else passes through."""
+    return unpack12(r_img) if r_img.dtype == jnp.uint8 else r_img
+
+
 def polar_to_xyz(ranges_u16: jnp.ndarray, elev_rad: jnp.ndarray,
                  scale: float) -> jnp.ndarray:
     """Decode a quantized range image [S, A] uint16 (0 = no return) into
@@ -405,8 +448,8 @@ def loam_run_chunk_polar(
 
     def body(st, inp):
         r_img, pq, pt, up = inp
-        feats = register_scan_polar(r_img, elev_rad, cfg.lidar, cfg.scanreg,
-                                    scale)
+        feats = register_scan_polar(_unpack_polar(r_img), elev_rad,
+                                    cfg.lidar, cfg.scanreg, scale)
         return loam_frame_step_feats(st, feats, pq, pt, up, cfg)
 
     return jax.lax.scan(body, state,
@@ -510,8 +553,8 @@ def lo_run_chunk_polar(state: LoChunkState, ranges, elev_rad,
     """Polar-ingest scanreg+LO chunk (no mapping)."""
 
     def body(st, r_img):
-        feats = register_scan_polar(r_img, elev_rad, cfg.lidar, cfg.scanreg,
-                                    scale)
+        feats = register_scan_polar(_unpack_polar(r_img), elev_rad,
+                                    cfg.lidar, cfg.scanreg, scale)
         st, out, stacks = _lo_frame(st, feats, cfg)
         return st, (out, stacks)
 
@@ -681,9 +724,9 @@ def loam_run_chunk_batch_polar(states: BatchLoamState, ranges, elev_rad,
     images (2 bytes/ray — the smallest possible upload)."""
     B = ranges.shape[0]
 
-    def frame_body(sts, r_b):  # r_b: [B, S, A]
+    def frame_body(sts, r_b):  # r_b: [B, S, A] (or [B, S, A//2*3] packed)
         feats = jax.vmap(lambda r: register_scan_polar(
-            r, elev_rad, cfg.lidar, cfg.scanreg, scale))(r_b)
+            _unpack_polar(r), elev_rad, cfg.lidar, cfg.scanreg, scale))(r_b)
         return batch_frame_step_feats(sts, feats, cfg, B)
 
     states, outs = jax.lax.scan(frame_body, states, ranges.swapaxes(0, 1))
@@ -701,16 +744,18 @@ class BatchLoamEngine:
     with repeated last frames and ignore the tail outputs)."""
 
     def __init__(self, cfg: PipelineConfig, batch: int, chunk: int = 4,
-                 quantize_mm: float = 0.0):
+                 quantize_mm: float = 0.0, pack12: bool = False):
         """quantize_mm > 0 stages scans as int16 in that many mm per unit
         (e.g. 5 -> 5 mm resolution, coordinates CLAMPED at +-163.8 m): the
         B-way batch multiplies upload bytes, which dominate wall clock on
         the tunnel backend, so upload-bound benchmarks should pass
-        quantize_mm=5.0 explicitly. Default 0.0 is lossless float32."""
+        quantize_mm=5.0 explicitly. Default 0.0 is lossless float32.
+        pack12=True packs push_polar images to 12 bits (see pack12())."""
         self.cfg = cfg
         self.batch = batch
         self.chunk = chunk
         self.quantize_mm = quantize_mm
+        self.pack12 = pack12
         self.states = batch_states(cfg, batch)
         self._outs = []
         self._scans = [[] for _ in range(batch)]
@@ -732,7 +777,8 @@ class BatchLoamEngine:
                   else hdl64_elevations(self.cfg.lidar.n_scans))
             self._elev = jnp.asarray(np.radians(ed), jnp.float32)
         self._polar_scale = range_scale
-        self._polar[stream].append(range_img)
+        self._polar[stream].append(pack12(range_img) if self.pack12
+                                   else range_img)
         if all(len(s) >= self.chunk for s in self._polar):
             self._flush_polar()
 

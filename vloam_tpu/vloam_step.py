@@ -373,10 +373,12 @@ def vision_lo_run_chunk_polar(
     the depth grid decodes only the forward cfg.vo.polar_fov_fraction of
     azimuth columns (rays outside the camera FOV never project; the
     depth-grid scatter is linear in decoded rays)."""
-    from .lidar.loam_step import polar_to_xyz_cols
+    from .lidar.loam_step import _unpack_polar, polar_to_xyz_cols
     from .lidar.scan_registration import register_scan_polar
 
     S, A = ranges.shape[1], ranges.shape[2]
+    if ranges.dtype == jnp.uint8:  # pack12-compressed (loam_step.pack12)
+        A = A // 3 * 2
     frac = min(max(cfg.vo.polar_fov_fraction, 0.0), 1.0)
     half = min(A, max(1, int(round(A * frac / 2.0))))
     az_full = -jnp.arange(A, dtype=jnp.float32) * (2.0 * jnp.pi / A)
@@ -389,6 +391,7 @@ def vision_lo_run_chunk_polar(
 
     def body(st, inp):
         r_img, img = inp
+        r_img = _unpack_polar(r_img)
         r_sel = (r_img if half == 0
                  else jnp.concatenate([r_img[:, :half], r_img[:, A - half:]],
                                       axis=1))
@@ -492,7 +495,8 @@ class VloamEngine:
     outputs are fetched in finish()."""
 
     def __init__(self, cfg: PipelineConfig, calib, chunk: int = 8,
-                 map_callback=None, mesh=None, mesh_window_rows: int = 4096):
+                 map_callback=None, mesh=None, mesh_window_rows: int = 4096,
+                 pack12: bool = False):
         """mesh: a jax.sharding.Mesh — run the mapping chunk as distributed
         BA sharded over the mesh (parallel/mesh_fused.py) while the
         vision+LO chunk stays single-device. `window_active_rows` reports
@@ -500,6 +504,7 @@ class VloamEngine:
         self.cfg = cfg
         self.chunk = chunk
         self.mesh = mesh
+        self.pack12 = pack12  # 12-bit packed polar staging (loam_step.pack12)
         self.window_active_rows = (0, 0)
         self._win: list = []
         self.ext = CamExtrinsics.from_calib(calib)
@@ -609,6 +614,10 @@ class VloamEngine:
         if image.dtype != np.uint8:
             image = np.clip(image * 255.0, 0, 255).astype(np.uint8)
         image = _fit_image(image, self.cfg.vo)
+        if self.pack12:
+            from .lidar.loam_step import pack12 as _pack12
+
+            range_img = _pack12(range_img)
         self._polar.append(range_img)
         self._imgs.append(image)
         if len(self._polar) >= self.chunk:
