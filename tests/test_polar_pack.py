@@ -64,3 +64,21 @@ def test_engine_pack12_matches_uint16():
     ref = run()
     packed = run(pack12=True)
     np.testing.assert_array_equal(packed, ref)
+
+
+def test_batch_engine_pack12_matches_uint16():
+    from vloam_tpu.lidar.loam_step import BatchLoamEngine
+
+    cfg = small_cfg()
+    scale = 0.03
+    frames = [np.minimum(f, 4095).astype(np.uint16)
+              for f in _polar_frames(cfg, 4, scale)]
+
+    def run(**kw):
+        eng = BatchLoamEngine(cfg, batch=2, chunk=2, **kw)
+        for f in frames:
+            for b in range(2):
+                eng.push_polar(b, f, range_scale=scale)
+        return eng.finish()
+
+    np.testing.assert_array_equal(run(pack12=True), run())
